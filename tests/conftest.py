@@ -1,0 +1,57 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device mesh so multi-chip sharding paths
+compile and execute without TPU hardware (the reference's analog: RTL tested
+under Cyclesim without an FPGA — SURVEY.md §4).
+"""
+
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pathlib
+
+import numpy as np
+import pytest
+
+TEST_DATA = pathlib.Path("/root/reference/jpeg/test_data")
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="session")
+def mouse_jpg() -> bytes:
+    return (TEST_DATA / "Mouse480.jpg").read_bytes()
+
+
+@pytest.fixture(scope="session")
+def mini64_frames():
+    """The three mini64x64 raw YUV fixtures as Frames keyed by subsampling."""
+    from video_coding_tpu.common.frame import Frame, ChromaSubsampling
+
+    frames = {}
+    for sub, name in [(ChromaSubsampling.C420, "mini64x64.420"),
+                      (ChromaSubsampling.C422, "mini64x64.422"),
+                      (ChromaSubsampling.C444, "mini64x64.444")]:
+        f = Frame.create(sub, 64, 64)
+        with open(TEST_DATA / name, "rb") as fh:
+            f.input(fh)
+        frames[sub] = f
+    return frames
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float(10 * np.log10(255.0 ** 2 / mse))
+
+
+@pytest.fixture(scope="session")
+def psnr_fn():
+    return psnr

@@ -1,0 +1,375 @@
+"""Baseline JPEG software decoder (golden model).
+
+Capability parity with reference jpeg/model/src/decoder.ml: header marker
+loop, per-component setup with sampling-factor geometry, stuffed-byte
+removal, Huffman + magnitude decode, dequant + DC prediction + inverse
+zigzag, integer Chen IDCT, clip/level-shift reconstruction, final crop, and
+a sequenced per-block API for lockstep testing (decoder.ml:429-436).
+
+Extensions over the reference:
+- restart markers (DRI/RSTn) are honored: the entropy stream is split into
+  segments at RSTn boundaries and DC predictors reset per segment (the
+  reference parses DRI but ignores it — jpeg/README.md:36). This is the
+  foundation of this framework's parallel entropy decode.
+- the bulk decode path is phase-split: sequential entropy decode into a
+  (num_blocks, 64) coefficient tensor, then batched vectorized
+  dequant→dezigzag→IDCT→recon — the same tensor contract the TPU datapath
+  kernels consume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..common.bitstream import BitReader
+from ..common.frame import Frame
+from ..common.plane import Plane
+from . import marker_codes
+from . import markers
+from .dct import chen_inverse_8x8
+from .huffman import Lut, Spec
+from .zigzag import INVERSE as ZIGZAG_INVERSE
+
+
+class DecodeError(Exception):
+    pass
+
+
+@dataclasses.dataclass
+class Header:
+    """Parsed headers up to (and including) SOS (decoder.ml:5-71)."""
+
+    frame: markers.Sof | None = None
+    quant_tables: list = dataclasses.field(default_factory=list)
+    huffman_tables: list = dataclasses.field(default_factory=list)
+    restart_interval: markers.Dri | None = None
+    scan: markers.Sos | None = None
+
+    @classmethod
+    def decode(cls, bits: BitReader) -> "Header":
+        """Marker scan loop: find 0xFF, dispatch, stop at SOS
+        (decoder.ml:24-70)."""
+        t = cls()
+        while True:
+            bits.align_to_byte()
+            while bits.get(8) != 0xFF:
+                pass
+            code = bits.get(8)
+            if code == marker_codes.SOF0:
+                t.frame = markers.Sof.decode(bits)
+            elif code == marker_codes.SOS:
+                t.scan = markers.Sos.decode(bits)
+                return t
+            elif code == marker_codes.DQT:
+                t.quant_tables.append(markers.Dqt.decode(bits))
+            elif code == marker_codes.DHT:
+                t.huffman_tables.append(markers.Dht.decode(bits))
+            elif code == marker_codes.DRI:
+                t.restart_interval = markers.Dri.decode(bits)
+            elif code == marker_codes.SOI:
+                pass
+            elif marker_codes.is_app(code) or code == marker_codes.COM:
+                length = bits.show(16)
+                bits.advance(length * 8)
+            else:
+                raise DecodeError(f"unsupported marker code 0x{code:02x}")
+
+
+def mag(cat: int, code: int) -> int:
+    """Magnitude (sign-extension) decode of a size-``cat`` value
+    (decoder.ml:73-79)."""
+    if cat == 0:
+        return 0
+    if code & (1 << (cat - 1)):
+        return code
+    return (code | (-1 << cat)) + 1
+
+
+def extract_entropy_segments(bits: BitReader) -> list[bytes]:
+    """De-stuff the entropy-coded data, splitting at RSTn markers.
+
+    Generalizes decoder.ml:261-281 extract_entropy_coded_bits: 0xFF00 →
+    0xFF; RST0-7 ends the current segment and starts the next; any other
+    marker terminates the scan."""
+    buf = bits.buffer
+    pos = bits.bit_pos >> 3
+    segments: list[bytes] = []
+    out = bytearray()
+    n = len(buf)
+    while True:
+        # Fast scan to the next 0xFF.
+        nxt = buf.find(b"\xff", pos)
+        if nxt == -1:
+            out.extend(buf[pos:])
+            break
+        out.extend(buf[pos:nxt])
+        marker = buf[nxt + 1] if nxt + 1 < n else 0xD9
+        if marker == 0x00:
+            out.append(0xFF)
+            pos = nxt + 2
+        elif marker_codes.is_rst(marker):
+            segments.append(bytes(out))
+            out = bytearray()
+            pos = nxt + 2
+        elif marker == 0xFF:
+            # Fill bytes before a marker are legal; keep scanning.
+            pos = nxt + 1
+        else:
+            break
+    segments.append(bytes(out))
+    return segments
+
+
+@dataclasses.dataclass
+class Component:
+    """Per-scan-component decode state (decoder.ml:167-204)."""
+
+    plane: Plane
+    decoded_width: int
+    decoded_height: int
+    actual_width: int
+    actual_height: int
+    component: markers.Component
+    scan: markers.ScanComponent
+    quant_table: np.ndarray  # 64 entries, zigzag order
+    dc_tab: Lut
+    ac_tab: Lut
+    dc_pred: int = 0
+    x: int = 0
+    y: int = 0
+    # per-block scratch, exposed by the sequenced debug API
+    coefs: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(64, dtype=np.int32))
+    dequant: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(64, dtype=np.int64))
+    idct: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(64, dtype=np.int64))
+    recon: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(64, dtype=np.int64))
+
+
+def _find_component(scan: markers.ScanComponent,
+                    frame: markers.Sof) -> markers.Component:
+    for c in frame.components:
+        if c.identifier == scan.selector:
+            return c
+    raise DecodeError("unable to find component identifier")
+
+
+def _find_quant_table(quant_tables, ident) -> np.ndarray:
+    for q in quant_tables:
+        if q.table_identifier == ident:
+            return np.asarray(q.elements, dtype=np.int64)
+    raise DecodeError("unable to find quantisation table")
+
+
+def _find_huffman_lut(huffman_tables, table_class, ident, ac: bool) -> Lut:
+    for h in huffman_tables:
+        if h.table_class == table_class and h.destination_identifier == ident:
+            spec = Spec(lengths=tuple(h.lengths), values=tuple(h.values))
+            codes = spec.ac_code_table() if ac else spec.dc_code_table()
+            return Lut(codes, ac=ac)
+    raise DecodeError("unable to find huffman table")
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+class Decoder:
+    """Full-frame decoder (decoder.ml init/decode/get_yuv_frame)."""
+
+    def __init__(self, header: Header, bits: BitReader):
+        frame, scan = header.frame, header.scan
+        if frame is None or scan is None:
+            raise DecodeError("missing start of frame or start of scan")
+        max_h = max(c.horizontal_sampling_factor for c in frame.components)
+        max_v = max(c.vertical_sampling_factor for c in frame.components)
+        rounded_w = _round_up(frame.width, max_h * 8)
+        rounded_h = _round_up(frame.height, max_v * 8)
+        self.header = header
+        self.components: list[Component] = []
+        for sc in scan.scan_components:
+            comp = _find_component(sc, frame)
+            dw = rounded_w * comp.horizontal_sampling_factor // max_h
+            dh = rounded_h * comp.vertical_sampling_factor // max_v
+            aw = frame.width * comp.horizontal_sampling_factor // max_h
+            ah = frame.height * comp.vertical_sampling_factor // max_v
+            self.components.append(Component(
+                plane=Plane(dw, dh),
+                decoded_width=dw, decoded_height=dh,
+                actual_width=aw, actual_height=ah,
+                component=comp, scan=sc,
+                quant_table=_find_quant_table(
+                    header.quant_tables, comp.quantization_table_identifier),
+                dc_tab=_find_huffman_lut(
+                    header.huffman_tables, 0, sc.dc_coef_selector, ac=False),
+                ac_tab=_find_huffman_lut(
+                    header.huffman_tables, 1, sc.ac_coef_selector, ac=True),
+            ))
+        self.entropy_segments = extract_entropy_segments(bits)
+        self.restart_interval = (
+            header.restart_interval.restart_interval
+            if header.restart_interval else 0)
+
+    # -- geometry ---------------------------------------------------------
+    @property
+    def macroblocks_wide(self) -> int:
+        c = self.components[0]
+        return c.decoded_width // (8 * c.component.horizontal_sampling_factor)
+
+    @property
+    def macroblocks_high(self) -> int:
+        c = self.components[0]
+        return c.decoded_height // (8 * c.component.vertical_sampling_factor)
+
+    def block_schedule(self) -> list[tuple[int, int, int]]:
+        """Flat (component_index, x, y) schedule in scan order — the MCU
+        iteration of decoder.ml:374-395."""
+        sched = []
+        for mcu_y in range(self.macroblocks_high):
+            for mcu_x in range(self.macroblocks_wide):
+                for ci, comp in enumerate(self.components):
+                    hs = comp.component.horizontal_sampling_factor
+                    vs = comp.component.vertical_sampling_factor
+                    for v in range(vs):
+                        for h in range(hs):
+                            sched.append((ci,
+                                          (mcu_x * hs + h) * 8,
+                                          (mcu_y * vs + v) * 8))
+        return sched
+
+    # -- entropy ----------------------------------------------------------
+    def _huffman_decode_block(self, bits: BitReader, comp: Component,
+                              coefs: np.ndarray) -> None:
+        """One 8x8 block of Huffman + magnitude decode into zigzag-order
+        ``coefs`` (decoder.ml:118-140)."""
+        dc_tab, ac_tab = comp.dc_tab, comp.ac_tab
+        length, data = dc_tab.lookup(bits.show(dc_tab.max_bits))
+        if length == 0:
+            raise DecodeError("Can't find dc code")
+        bits.advance(length)
+        coefs[0] = mag(data, bits.get(data) if data else 0)
+        cof_cnt = 1
+        ac_max = ac_tab.max_bits
+        while cof_cnt < 64:
+            length, data = ac_tab.lookup(bits.show(ac_max))
+            if length == 0:
+                raise DecodeError("Can't find ac code")
+            bits.advance(length)
+            run, size = (data >> 4) & 0xF, data & 0xF
+            value = mag(size, bits.get(size) if size else 0)
+            if value == 0 and run == 0:
+                break  # EOB
+            cof_cnt += run
+            if cof_cnt >= 64:
+                raise DecodeError(
+                    f"coefficient index out of range: {cof_cnt}")
+            coefs[cof_cnt] = value
+            cof_cnt += 1
+
+    def decode_entropy(self) -> np.ndarray:
+        """Sequential entropy decode of the whole scan.
+
+        Returns (num_blocks, 64) int32 zigzag-order coefficients with DC
+        prediction already resolved, in block_schedule order. Restart
+        segments reset DC predictors and bit alignment."""
+        sched = self.block_schedule()
+        coefs = np.zeros((len(sched), 64), dtype=np.int32)
+        mcu_size = sum(c.component.horizontal_sampling_factor
+                       * c.component.vertical_sampling_factor
+                       for c in self.components)
+        blocks_per_segment = (self.restart_interval * mcu_size
+                              if self.restart_interval else len(sched))
+        seg_idx = 0
+        bits = BitReader(self.entropy_segments[0])
+        dc_preds = [0] * len(self.components)
+        for i, (ci, _x, _y) in enumerate(sched):
+            if i > 0 and i % blocks_per_segment == 0:
+                seg_idx += 1
+                bits = BitReader(self.entropy_segments[seg_idx])
+                dc_preds = [0] * len(self.components)
+            row = coefs[i]
+            self._huffman_decode_block(bits, self.components[ci], row)
+            dc_preds[ci] += int(row[0])
+            row[0] = dc_preds[ci]
+        return coefs
+
+    # -- numerics (batched) ----------------------------------------------
+    def reconstruct(self, coefs: np.ndarray) -> None:
+        """Batched dequant → dezigzag → Chen IDCT → clip/level-shift →
+        plane writes. Bit-exact with the reference per-block pipeline
+        (decoder.ml:142-149, :215-224, :347-360)."""
+        sched = self.block_schedule()
+        comp_idx = np.array([s[0] for s in sched], dtype=np.int32)
+        qtabs = np.stack([c.quant_table for c in self.components])
+        dequant_zz = coefs.astype(np.int64) * qtabs[comp_idx]
+        # inverse zigzag: natural[ZIGZAG_INVERSE[i]] = zigzag[i]
+        dequant = np.zeros_like(dequant_zz)
+        dequant[:, ZIGZAG_INVERSE] = dequant_zz
+        idct = chen_inverse_8x8(dequant.reshape(-1, 8, 8))
+        recon = np.clip(idct, -128, 127) + 128
+        recon = recon.astype(np.uint8)
+        for i, (ci, x, y) in enumerate(sched):
+            comp = self.components[ci]
+            comp.plane.data[y:y + 8, x:x + 8] = recon[i]
+
+    def decode(self) -> None:
+        self.reconstruct(self.decode_entropy())
+
+    # -- sequenced per-block API (lockstep testing hook) ------------------
+    def decode_blocks_seq(self):
+        """Generator yielding the Component after each block decode, with
+        coefs/dequant/idct/recon scratch filled — mirror of
+        For_testing.Sequenced.decode (decoder.ml:429-436)."""
+        sched = self.block_schedule()
+        coefs_all = self.decode_entropy()
+        for i, (ci, x, y) in enumerate(sched):
+            comp = self.components[ci]
+            comp.x, comp.y = x, y
+            comp.coefs[:] = coefs_all[i]
+            comp.dc_pred = int(coefs_all[i][0])
+            dq = comp.coefs.astype(np.int64) * comp.quant_table
+            comp.dequant[ZIGZAG_INVERSE] = dq
+            comp.idct[:] = chen_inverse_8x8(
+                comp.dequant.reshape(8, 8)).reshape(64)
+            comp.recon[:] = np.clip(comp.idct, -128, 127) + 128
+            comp.plane.data[y:y + 8, x:x + 8] = (
+                comp.recon.reshape(8, 8).astype(np.uint8))
+            yield comp
+
+    # -- output -----------------------------------------------------------
+    def _crop(self, comp: Component) -> Plane:
+        """Crop decoded plane to actual size (decoder.ml:403-413)."""
+        if (comp.decoded_width != comp.actual_width
+                or comp.decoded_height != comp.actual_height):
+            out = Plane(comp.actual_width, comp.actual_height)
+            comp.plane.blit_available(out)
+            return out
+        return comp.plane
+
+    def get_decoded_planes(self) -> list[Plane]:
+        return [c.plane for c in self.components]
+
+    def get_planes(self) -> list[Plane]:
+        return [self._crop(c) for c in self.components]
+
+    def get_yuv_frame(self) -> Frame:
+        planes = self.get_planes()
+        return Frame.of_planes(planes[0], planes[1], planes[2])
+
+
+def decode_a_frame(data: bytes) -> Frame:
+    """One-shot full decode (decoder.ml:422-427)."""
+    bits = BitReader(data)
+    header = Header.decode(bits)
+    dec = Decoder(header, bits)
+    dec.decode()
+    return dec.get_yuv_frame()
+
+
+def decode_frame_bytes(path: str) -> Frame:
+    with open(path, "rb") as f:
+        return decode_a_frame(f.read())
