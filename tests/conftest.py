@@ -8,12 +8,25 @@ under Cyclesim without an FPGA — SURVEY.md §4).
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests must run on hermetic CPU devices. The baked sitecustomize registers
+# the remote-TPU (axon) plugin at *interpreter boot* whenever
+# PALLAS_AXON_POOL_IPS is set — that both overrides JAX_PLATFORMS=cpu and
+# couples every jax init to tunnel availability (which can wedge and hang
+# the process). Registration has already happened by the time conftest
+# runs, so the only clean fix is to re-exec pytest once with a scrubbed
+# environment before anything imports jax.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The registration may have force-configured the axon platform already
+# (jax is imported at boot); override through the live config, which wins
+# over both the boot-time setting and the env var.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
