@@ -1,0 +1,95 @@
+"""Runtime engine tests: accelerated sessions vs golden model, end to end.
+
+The analog of the reference's full-decoder and accelerator testbenches
+(test_decoder.ml:27-129, test_decoder_accelerator.ml:54-192): the
+host+device engine is run on whole streams and compared against the model —
+ours must be byte/bit identical, stronger than the reference's tolerance-2.
+"""
+
+import numpy as np
+import pytest
+
+from video_coding_tpu.common.frame import ChromaSubsampling, Frame
+from video_coding_tpu.common.plane import Plane
+from video_coding_tpu.model import decoder as mdec
+from video_coding_tpu.model import encoder as menc
+from video_coding_tpu.runtime import engine
+
+
+def frames_equal(a: Frame, b: Frame) -> bool:
+    return all(np.array_equal(getattr(a, p).data, getattr(b, p).data)
+               for p in "yuv")
+
+
+def test_engine_decode_bit_exact_vs_model(mouse_jpg):
+    assert frames_equal(engine.decode_jpeg(mouse_jpg),
+                        mdec.decode_a_frame(mouse_jpg))
+
+
+def test_engine_encode_byte_identical_vs_model(mini64_frames):
+    f = mini64_frames[ChromaSubsampling.C420]
+    for q in (30, 75, 95):
+        assert engine.encode_jpeg(f, q) == menc.encode_420(f, q)
+
+
+@pytest.mark.parametrize("sub,mfn", [
+    (ChromaSubsampling.C422, menc.encode_422),
+    (ChromaSubsampling.C444, menc.encode_444),
+])
+def test_engine_encode_other_subsamplings(sub, mfn, mini64_frames):
+    f = mini64_frames[sub]
+    assert engine.encode_jpeg(f, 75, sub) == mfn(f, 75)
+
+
+def test_engine_restart_interval_byte_identical(mini64_frames):
+    f = mini64_frames[ChromaSubsampling.C420]
+    for ri in (1, 2, 7):
+        assert (engine.encode_jpeg(f, 75, restart_interval=ri)
+                == menc.encode_420(f, 75, restart_interval=ri))
+
+
+def test_engine_decode_restart_stream(mini64_frames):
+    f = mini64_frames[ChromaSubsampling.C420]
+    rst = engine.encode_jpeg(f, 75, restart_interval=2)
+    assert frames_equal(engine.decode_jpeg(rst),
+                        mdec.decode_a_frame(menc.encode_420(f, 75)))
+
+
+def test_engine_odd_size_roundtrip(mini64_frames):
+    f = mini64_frames[ChromaSubsampling.C444]
+    small = Frame.of_planes(Plane(data=f.y.data[:44, :52].copy()),
+                            Plane(data=f.u.data[:22, :26].copy()),
+                            Plane(data=f.v.data[:22, :26].copy()))
+    b = engine.encode_jpeg(small, 75)
+    assert b == menc.encode_420(small, 75)
+    d = engine.decode_jpeg(b)
+    assert (d.width, d.height) == (52, 44)
+    assert frames_equal(d, mdec.decode_a_frame(b))
+
+
+def test_session_reuse_mjpeg_steady_state(mini64_frames):
+    """Motion-JPEG usage: one session, many frames with the same headers."""
+    from video_coding_tpu.model.encoder import Parameters
+
+    base = mini64_frames[ChromaSubsampling.C420]
+    sess = engine.JpegEncoderSession(Parameters.c420(64, 64, 75),
+                                     restart_interval=2)
+    streams = []
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        f = base.copy()
+        noise = rng.integers(0, 8, f.y.data.shape, dtype=np.uint8)
+        f.y.data[...] = np.clip(f.y.data.astype(int) + noise, 0, 255)
+        streams.append(sess.encode(f))
+    # decode them all through one decoder session
+    bits = None
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.model.decoder import Header
+    first = BitReader(streams[0])
+    header = Header.decode(first)
+    dsess = engine.JpegDecoderSession(header)
+    for s in streams:
+        r = BitReader(s)
+        Header.decode(r)
+        out = dsess.decode(s[r.bit_pos >> 3:])
+        assert frames_equal(out, mdec.decode_a_frame(s))

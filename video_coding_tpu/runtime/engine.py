@@ -1,0 +1,257 @@
+"""JPEG encode/decode sessions: host sequencing + device block numerics.
+
+Architecture (the reference's Decoder_accelerator split, re-drawn for TPU —
+SURVEY.md §3.4):
+
+  host:   header parse → geometry plan → table packing → segment-parallel
+          C++ entropy decode/encode (threads over restart intervals)
+  device: one jit'd graph per geometry: dequant→IDCT→recon→plane assembly
+          (decode) or plane slicing→fDCT→quant (encode), batched over every
+          block of one-or-many frames.
+
+Sessions cache everything derivable from the header/parameters (device
+quant arrays, gather indices, compiled graphs), so steady-state per-frame
+work is: entropy bytes in → coefficient tensor → one device call → planes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.bitstream import BitReader, BitWriter
+from ..common.frame import ChromaSubsampling, Frame
+from ..common.plane import Plane
+from ..model import marker_codes
+from ..model.decoder import (DecodeError, Decoder, Header)
+from ..model.encoder import Encoder, Parameters
+from ..model.huffman import Spec
+from ..entropy import scan as entropy_scan
+from ..entropy.tables import pack_decoder_tables, pack_encoder_tables
+from ..ops import datapath
+
+
+def _plane_from_blocks(pixels, idx, nby, nbx):
+    """(N,8,8) block batch + per-plane schedule rows → (nby*8, nbx*8)."""
+    blocks = pixels[idx].reshape(nby, nbx, 8, 8)
+    return blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+
+
+def _blocks_from_plane(plane, nby, nbx):
+    """(nby*8, nbx*8) plane → (nby*nbx, 8, 8) raster-order blocks."""
+    return (plane.reshape(nby, 8, nbx, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * nbx, 8, 8))
+
+
+class JpegDecoderSession:
+    """Reusable decoder for a fixed header geometry (dims, sampling,
+    tables). Feed it entropy data from any frame with the same headers —
+    the Motion-JPEG steady state."""
+
+    def __init__(self, header: Header, impl: str = "auto"):
+        self.header = header
+        self.impl = impl
+        # geometry via the golden model's component planner
+        probe = Decoder(header, BitReader(b"\x00"))
+        self.components = probe.components
+        sched = probe.block_schedule()
+        self.n_blocks = len(sched)
+        self.comp_idx = np.array([s[0] for s in sched], dtype=np.int32)
+        qtabs = np.stack([c.quant_table for c in self.components])
+        self.quant = qtabs[self.comp_idx].astype(np.int32)
+        mcu_size = sum(c.component.horizontal_sampling_factor
+                       * c.component.vertical_sampling_factor
+                       for c in self.components)
+        self.restart_interval = probe.restart_interval
+        self.blocks_per_segment = (
+            self.restart_interval * mcu_size if self.restart_interval
+            else self.n_blocks)
+        self.tables = pack_decoder_tables(
+            [c.dc_tab for c in self.components],
+            [c.ac_tab for c in self.components])
+        # per-component plane-assembly gather indices
+        self.plane_geom = []
+        for ci, comp in enumerate(self.components):
+            nbx = comp.decoded_width // 8
+            nby = comp.decoded_height // 8
+            rows = [i for i, s in enumerate(sched) if s[0] == ci]
+            # order schedule rows by raster block position
+            order = sorted(rows, key=lambda i: (sched[i][2], sched[i][1]))
+            self.plane_geom.append(
+                (np.array(order, dtype=np.int32), nby, nbx))
+        self._jit = self._build_jit()
+
+    def _build_jit(self):
+        quant = jnp.asarray(self.quant)
+        geom = [(jnp.asarray(idx), nby, nbx)
+                for idx, nby, nbx in self.plane_geom]
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+
+        @jax.jit
+        def run(coefs):
+            if use_pallas:
+                pixels = datapath.decode_datapath_pallas(coefs, quant)
+            else:
+                pixels = datapath.decode_datapath_jnp(coefs, quant)
+            pixels = pixels.astype(jnp.uint8)
+            return tuple(
+                _plane_from_blocks(pixels, idx, nby, nbx)
+                for idx, nby, nbx in geom)
+
+        return run
+
+    # -- per frame --------------------------------------------------------
+    def decode_entropy(self, entropy_data: bytes) -> np.ndarray:
+        """Raw (stuffed) entropy-coded bytes → (N,64) coefficients."""
+        segments = entropy_scan.destuff_segments(entropy_data)
+        return entropy_scan.decode_scan(
+            segments, self.comp_idx, self.blocks_per_segment, self.tables)
+
+    def decode_planes_device(self, coefs: np.ndarray):
+        """(N,64) coefficients → tuple of decoded (padded) planes on
+        device."""
+        return self._jit(jnp.asarray(coefs))
+
+    def decode(self, entropy_data: bytes) -> Frame:
+        coefs = self.decode_entropy(entropy_data)
+        planes_dev = self.decode_planes_device(coefs)
+        planes = []
+        for comp, dev in zip(self.components, planes_dev):
+            arr = np.asarray(dev)
+            if (comp.actual_width != comp.decoded_width
+                    or comp.actual_height != comp.decoded_height):
+                arr = arr[:comp.actual_height, :comp.actual_width]
+            planes.append(Plane(data=np.ascontiguousarray(arr)))
+        if len(planes) == 3:
+            return Frame.of_planes(*planes)
+        return planes
+
+
+def decode_jpeg(data: bytes, impl: str = "auto"):
+    """One-shot accelerated decode of a full JPEG byte stream."""
+    bits = BitReader(data)
+    header = Header.decode(bits)
+    session = JpegDecoderSession(header, impl=impl)
+    entropy = data[bits.bit_pos >> 3:]
+    return session.decode(entropy)
+
+
+class JpegEncoderSession:
+    """Reusable encoder for fixed parameters (dims, quality, subsampling,
+    restart interval). Restart intervals are emitted by default so every
+    stream this framework produces is parallel-decodable."""
+
+    def __init__(self, params: Parameters, restart_interval: int = 0,
+                 impl: str = "auto"):
+        self.params = params
+        self.impl = impl
+        probe = Encoder(params, restart_interval=restart_interval)
+        self.scans = probe.scans
+        self._probe = probe
+        sched = probe.block_schedule()
+        self.n_blocks = len(sched)
+        self.comp_idx = np.array([s[0] for s in sched], dtype=np.int32)
+        qtabs = np.stack([s.quant_table for s in self.scans])
+        self.quant = qtabs[self.comp_idx].astype(np.int32)
+        self.restart_interval = restart_interval
+        mcu_size = sum(s.hscale * s.vscale for s in self.scans)
+        self.blocks_per_segment = (
+            restart_interval * mcu_size if restart_interval else self.n_blocks)
+        # tables are packed per *scan component* (comp_idx indexes scans),
+        # duplicating shared specs — e.g. U and V both carry chroma tables
+        def _find(items, ident):
+            for it in items:
+                if it.identifier == ident:
+                    return it.data
+            raise KeyError(ident)
+
+        self.tables = pack_encoder_tables(
+            [_find(params.dc_huffman_tables, sc.dc_huffman_table)
+             for sc in params.scan_components],
+            [_find(params.ac_huffman_tables, sc.ac_huffman_table)
+             for sc in params.scan_components])
+        # per-scan block extraction order: schedule row i takes block
+        # (x,y) of scan si → index into per-scan raster blocks
+        self.gather = []
+        for si, s in enumerate(self.scans):
+            nbx = s.plane.width // 8
+            rows = [(i, sched[i]) for i in range(len(sched))
+                    if sched[i][0] == si]
+            take = np.array([(y // 8) * nbx + (x // 8)
+                             for _i, (_si, x, y) in rows], dtype=np.int32)
+            dest = np.array([i for i, _ in rows], dtype=np.int32)
+            self.gather.append((take, dest, s.plane.height // 8, nbx))
+        self._jit = self._build_jit()
+
+    def _build_jit(self):
+        quant = jnp.asarray(self.quant)
+        gather = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
+                  for t, d, nby, nbx in self.gather]
+        n_blocks = self.n_blocks
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+
+        @jax.jit
+        def run(*planes):
+            pixels = jnp.zeros((n_blocks, 8, 8), dtype=jnp.int32)
+            for plane, (take, dest, nby, nbx) in zip(planes, gather):
+                blocks = _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
+                pixels = pixels.at[dest].set(blocks[take])
+            if use_pallas:
+                return datapath.encode_datapath_pallas(pixels, quant)
+            return datapath.encode_datapath_jnp(pixels, quant)
+
+        return run
+
+    # -- per frame --------------------------------------------------------
+    def load_planes(self, frame) -> list[np.ndarray]:
+        """Blit frame planes into padded scan planes (zeros elsewhere)."""
+        out = []
+        if isinstance(frame, Frame):
+            sources = [frame.y, frame.u, frame.v]
+        else:
+            sources = [frame]
+        for s, src in zip(self.scans, sources):
+            padded = np.zeros((s.plane.height, s.plane.width), dtype=np.uint8)
+            h = min(src.height, s.plane.height)
+            w = min(src.width, s.plane.width)
+            padded[:h, :w] = src.data[:h, :w]
+            out.append(padded)
+        return out
+
+    def quantize_device(self, planes) -> np.ndarray:
+        return np.asarray(self._jit(*[jnp.asarray(p) for p in planes]))
+
+    def encode(self, frame) -> bytes:
+        qcoefs = self.quantize_device(self.load_planes(frame))
+        segments = entropy_scan.encode_scan(
+            qcoefs, self.comp_idx, self.blocks_per_segment, self.tables)
+        w = BitWriter()
+        enc = Encoder(self.params, w, restart_interval=self.restart_interval)
+        enc.write_headers()
+        for i, seg in enumerate(segments):
+            if i > 0:
+                w.put_bits(0xFF, 8, stuffing=False)
+                w.put_bits(marker_codes.RST0 + ((i - 1) & 7), 8,
+                           stuffing=False)
+            w.put_bytes(seg)
+        w.put_bits(0xFF, 8, stuffing=False)
+        w.put_bits(marker_codes.EOI, 8, stuffing=False)
+        return w.get_buffer()
+
+
+def encode_jpeg(frame: Frame, quality: int = 75,
+                subsampling: ChromaSubsampling = ChromaSubsampling.C420,
+                restart_interval: int = 0, impl: str = "auto") -> bytes:
+    """One-shot accelerated encode."""
+    maker = {ChromaSubsampling.C420: Parameters.c420,
+             ChromaSubsampling.C422: Parameters.c422,
+             ChromaSubsampling.C444: Parameters.c444}[subsampling]
+    params = maker(frame.width, frame.height, quality)
+    return JpegEncoderSession(params, restart_interval, impl=impl).encode(frame)
