@@ -1,0 +1,33 @@
+"""Multi-chip parallel layer: mesh construction and sharded codec pipelines.
+
+This is the capability the reference lacks entirely (SURVEY.md §2.6: a
+single-process, single-clock system whose only parallelism is RTL pipeline
+stages). Here it generalizes to jax.sharding over a device Mesh:
+
+- **data axis**: frames of a Motion-JPEG stream sharded across chips
+  (the reference analog: multiple accelerator instances).
+- **seg axis**: restart-interval segments *within* a frame sharded across
+  chips — the sequence-parallel dimension the JPEG standard enables via
+  DRI/RSTn, which the reference parses but never uses
+  (jpeg/README.md:36, model markers.ml:186-198).
+
+Collectives ride ICI: psum for distributed quality metrics, all_gather for
+segment length/offset exchange during parallel bitstream assembly.
+"""
+
+from .mesh import make_mesh, codec_mesh
+from .pipeline import (
+    sharded_decode_datapath,
+    sharded_encode_datapath,
+    mjpeg_codec_step,
+    distributed_psnr,
+)
+
+__all__ = [
+    "make_mesh",
+    "codec_mesh",
+    "sharded_decode_datapath",
+    "sharded_encode_datapath",
+    "mjpeg_codec_step",
+    "distributed_psnr",
+]
