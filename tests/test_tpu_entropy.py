@@ -1,0 +1,116 @@
+"""On-device entropy tier tests: vectorized Huffman decode and parallel
+bitstream packing, bit-identical to the host engines.
+
+This is the TPU-native equivalent of the reference entropy RTL
+(codeword_decoder.ml 16-way matchers → 2^16 LUT gather; encoder chain →
+scan+scatter packing), tested in lockstep like the RTL testbenches."""
+
+import numpy as np
+import pytest
+
+from video_coding_tpu.common.bitstream import BitReader
+from video_coding_tpu.common.frame import ChromaSubsampling
+from video_coding_tpu.entropy import scan as entropy_scan
+from video_coding_tpu.entropy.tables import (pack_decoder_tables,
+                                             pack_encoder_tables)
+from video_coding_tpu.entropy.tpu_decode import decode_scan_tpu
+from video_coding_tpu.entropy.tpu_encode import encode_scan_tpu
+from video_coding_tpu.model import decoder as mdec
+from video_coding_tpu.model import encoder as menc
+from video_coding_tpu.model.huffman import (AC_CHROMA, AC_LUMA, DC_CHROMA,
+                                            DC_LUMA, Lut)
+
+
+def decoder_for(data: bytes) -> mdec.Decoder:
+    bits = BitReader(data)
+    return mdec.Decoder(mdec.Header.decode(bits), bits)
+
+
+def dec_tables(dec):
+    return pack_decoder_tables([c.dc_tab for c in dec.components],
+                               [c.ac_tab for c in dec.components])
+
+
+def test_tpu_decode_single_segment(mouse_jpg):
+    dec = decoder_for(mouse_jpg)
+    golden = dec.decode_entropy()
+    comp_idx = np.array([s[0] for s in dec.block_schedule()], dtype=np.int32)
+    out = decode_scan_tpu(dec.entropy_segments, comp_idx, len(comp_idx),
+                          dec_tables(dec))
+    assert np.array_equal(out, golden)
+
+
+@pytest.mark.parametrize("ri,q", [(1, 75), (2, 95), (4, 30)])
+def test_tpu_decode_restart_segments(ri, q, mini64_frames):
+    src = mini64_frames[ChromaSubsampling.C420]
+    data = menc.encode_420(src, q, restart_interval=ri)
+    dec = decoder_for(data)
+    golden = dec.decode_entropy()
+    comp_idx = np.array([s[0] for s in dec.block_schedule()], dtype=np.int32)
+    mcu = sum(c.component.horizontal_sampling_factor
+              * c.component.vertical_sampling_factor
+              for c in dec.components)
+    out = decode_scan_tpu(dec.entropy_segments, comp_idx, ri * mcu,
+                          dec_tables(dec))
+    assert np.array_equal(out, golden)
+
+
+def test_tpu_encode_matches_host():
+    rng = np.random.default_rng(0)
+    tables = pack_encoder_tables([DC_LUMA, DC_CHROMA, DC_CHROMA],
+                                 [AC_LUMA, AC_CHROMA, AC_CHROMA])
+    n = 96
+    q = rng.integers(-40, 40, size=(n, 64)).astype(np.int32)
+    q[:, 20:60] = 0
+    q[5] = 0
+    q[7, :] = 0
+    q[7, 63] = 3
+    q[9, 1:63] = 0
+    q[9, 63] = -1
+    ci = np.tile(np.array([0, 0, 0, 0, 1, 2], dtype=np.int32), 16)
+    for bps in (96, 6, 36):
+        host = entropy_scan.encode_scan(q, ci, bps, tables)
+        dev = encode_scan_tpu(q, ci, bps, tables)
+        assert host == dev, f"bps={bps}"
+
+
+def test_tpu_encode_dense_worst_case():
+    rng = np.random.default_rng(1)
+    tables = pack_encoder_tables([DC_LUMA], [AC_LUMA])
+    q = rng.integers(-1000, 1000, size=(24, 64)).astype(np.int32)
+    ci = np.zeros(24, dtype=np.int32)
+    for bps in (24, 5):
+        assert (entropy_scan.encode_scan(q, ci, bps, tables)
+                == encode_scan_tpu(q, ci, bps, tables))
+
+
+def test_engine_with_tpu_entropy_end_to_end(mini64_frames):
+    """Full streams through the engine with entropy='tpu' on both sides —
+    byte-identical encode and bit-exact decode vs the golden model."""
+    from video_coding_tpu.model.encoder import Parameters
+    from video_coding_tpu.runtime import engine
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    enc = engine.JpegEncoderSession(Parameters.c420(64, 64, 75),
+                                    restart_interval=2, entropy="tpu")
+    stream = enc.encode(src)
+    assert stream == menc.encode_420(src, 75, restart_interval=2)
+
+    bits = BitReader(stream)
+    header = mdec.Header.decode(bits)
+    dsess = engine.JpegDecoderSession(header, entropy="tpu")
+    out = dsess.decode(stream[bits.bit_pos >> 3:])
+    ref = mdec.decode_a_frame(stream)
+    for p in "yuv":
+        assert (getattr(out, p).data == getattr(ref, p).data).all()
+
+
+def test_tpu_decode_corrupt_stream_terminates():
+    """Garbage input must terminate (graceful, like RTL error strobes),
+    not hang the while_loop."""
+    dec_tabs = pack_decoder_tables(
+        [Lut(DC_LUMA.dc_code_table(), ac=False)],
+        [Lut(AC_LUMA.ac_code_table(), ac=True)])
+    comp_idx = np.zeros(4, dtype=np.int32)
+    out = decode_scan_tpu([b"\xaa\x55" * 8], comp_idx, 4, dec_tabs)
+    assert out.shape == (4, 64)

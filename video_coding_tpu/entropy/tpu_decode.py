@@ -1,0 +1,187 @@
+"""TPU-side vectorized Huffman decoder: one restart segment per lane.
+
+The TPU-native re-formulation of the reference's entropy hardware:
+- the 16 parallel length-hypothesis matchers of Codeword_decoder
+  (jpeg/hardcaml/src/codeword_decoder.ml:31-76) become a flat 2^16 LUT
+  gather (peek 16 bits → (length, data) in one load);
+- the per-block FSM of Codeblock_decoder (codeblock_decoder.ml:143-244)
+  becomes a lax.while_loop whose state is vectorized over hundreds/
+  thousands of segments — every iteration decodes one codeword+magnitude
+  in every active lane.
+
+Entropy coding is bit-serial *within* a segment; restart intervals (which
+this framework's encoder always emits) supply the parallel axis. With a
+one-MCU-row (or one-MCU) restart interval, a 1080p frame yields 68 (or
+8160) independent lanes — and batched frames multiply that.
+
+Bit-exact with the host decoders (entropy/scan.py, native/entropy.cpp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tables import DecoderTables
+
+PEEK_BITS = 16
+
+
+def expand_luts(tables: DecoderTables) -> tuple[np.ndarray, np.ndarray]:
+    """Per-component flat LUTs widened to 2^16 entries: index = the next
+    16 bits of the stream; entry = (code_length << 16) | data."""
+    def expand(maxbits, lut, off):
+        comps = []
+        for c in range(len(maxbits)):
+            part = lut[off[c]:off[c + 1]]
+            reps = 1 << (PEEK_BITS - int(maxbits[c]))
+            comps.append(np.repeat(part, reps))
+        return np.stack(comps)
+
+    dc = expand(tables.dc_maxbits, tables.dc_lut, tables.dc_off)
+    ac = expand(tables.ac_maxbits, tables.ac_lut, tables.ac_off)
+    return dc.astype(np.int32), ac.astype(np.int32)
+
+
+def pack_segments(segments: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Pad segments into an (S, L) uint8 matrix (+4 guard bytes) and
+    return it with per-segment byte lengths."""
+    lens = np.array([len(s) for s in segments], dtype=np.int32)
+    L = int(lens.max()) + 4
+    out = np.zeros((len(segments), L), dtype=np.uint8)
+    for i, s in enumerate(segments):
+        out[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+    return out, lens
+
+
+@functools.partial(jax.jit, static_argnames=("blocks_per_segment",))
+def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
+                           comp_sched: jax.Array, dc_lut: jax.Array,
+                           ac_lut: jax.Array, *,
+                           blocks_per_segment: int) -> jax.Array:
+    """Decode all segments in parallel on device.
+
+    segbytes:   (S, L) uint8 destuffed segment bytes (zero padded).
+    seg_blocks: (S,) int32 blocks in each segment (last may be short).
+    comp_sched: (blocks_per_segment,) int32 scan-component index of each
+                block position within a segment.
+    dc_lut/ac_lut: (C, 65536) int32 expanded LUTs.
+    Returns (S, blocks_per_segment, 64) int32 zigzag coefficients with DC
+    prediction resolved per segment.
+    """
+    S, L = segbytes.shape
+    B = blocks_per_segment
+    C = dc_lut.shape[0]
+    seg32 = segbytes.astype(jnp.int32)
+    lane = jnp.arange(S)
+
+    def peek(bitpos, nbits_max=PEEK_BITS):
+        byte = jnp.clip(bitpos >> 3, 0, L - 3)
+        sh = bitpos & 7
+        b0 = jnp.take_along_axis(seg32, byte[:, None], axis=1)[:, 0]
+        b1 = jnp.take_along_axis(seg32, byte[:, None] + 1, axis=1)[:, 0]
+        b2 = jnp.take_along_axis(seg32, byte[:, None] + 2, axis=1)[:, 0]
+        w24 = (b0 << 16) | (b1 << 8) | b2
+        return (w24 >> (8 - sh)) & 0xFFFF  # next 16 bits, MSB first
+
+    def magnitude(cat, code):
+        # decoder.ml:73-79 sign extension
+        neg = (code & (1 << jnp.maximum(cat - 1, 0))) == 0
+        val = jnp.where(neg & (cat > 0), code - (1 << cat) + 1, code)
+        return jnp.where(cat == 0, 0, val)
+
+    def body(state):
+        it, bitpos, blk, cof, in_ac, dc_pred, coefs = state
+        active = blk < seg_blocks
+        comp = comp_sched[jnp.clip(blk, 0, B - 1)]
+        w16 = peek(bitpos)
+        # one gather per phase; select afterwards
+        dce = dc_lut[comp, w16]
+        ace = ac_lut[comp, w16]
+        entry = jnp.where(in_ac, ace, dce)
+        code_len = entry >> 16
+        data = entry & 0xFFFF
+        run = jnp.where(in_ac, (data >> 4) & 0xF, 0)
+        cat = jnp.where(in_ac, data & 0xF, data)
+        # magnitude bits follow the codeword
+        magpos = bitpos + code_len
+        wmag = peek(magpos)
+        mag_code = jnp.where(cat > 0, wmag >> (PEEK_BITS - jnp.maximum(cat, 1)),
+                             0)
+        val = magnitude(cat, mag_code)
+        new_bitpos = magpos + cat
+
+        # --- DC phase ---
+        new_dc = dc_pred.at[lane, comp].add(jnp.where(~in_ac & active,
+                                                      val, 0))
+        dc_val = new_dc[lane, comp]
+
+        # --- AC phase ---
+        is_eob = in_ac & (run == 0) & (cat == 0)
+        new_cof_ac = cof + run
+        write_ac = in_ac & ~is_eob & active & (new_cof_ac < 64)
+        # coefficient writes (dropped when out of range / inactive)
+        write_blk = jnp.where(active, blk, B)
+        dc_write_idx = jnp.where(~in_ac & active, write_blk, B)
+        coefs = coefs.at[lane, dc_write_idx, 0].set(
+            dc_val, mode="drop")
+        ac_write_idx = jnp.where(write_ac, write_blk, B)
+        coefs = coefs.at[lane, ac_write_idx,
+                         jnp.clip(new_cof_ac, 0, 63)].set(
+            jnp.where(write_ac, val, 0), mode="drop")
+
+        cof_after = jnp.where(in_ac,
+                              jnp.where(is_eob, 64, new_cof_ac + 1),
+                              1)
+        block_done = in_ac & (is_eob | (cof_after >= 64))
+        new_blk = jnp.where(block_done & active, blk + 1, blk)
+        new_in_ac = jnp.where(block_done, False,
+                              jnp.where(~in_ac, True, in_ac))
+        new_cof = jnp.where(block_done, 0, cof_after)
+        # reset DC predictors never happens inside a segment
+        bitpos = jnp.where(active, new_bitpos, bitpos)
+        return (it + 1, bitpos, new_blk, new_cof, new_in_ac, new_dc, coefs)
+
+    # every iteration consumes one codeword; a block holds ≤ 64 codewords,
+    # so this bound is only hit by corrupt streams (graceful stop, like the
+    # RTL error strobes — codeblock_decoder.ml:19-26)
+    max_iters = B * 65 + 64
+
+    def cond(state):
+        it, _bitpos, blk, _cof, _in_ac, _dc, _coefs = state
+        return jnp.any(blk < seg_blocks) & (it < max_iters)
+
+    init = (
+        jnp.zeros((), jnp.int32),           # iteration counter
+        jnp.zeros(S, jnp.int32),            # bitpos
+        jnp.zeros(S, jnp.int32),            # block index in segment
+        jnp.zeros(S, jnp.int32),            # coef index
+        jnp.zeros(S, jnp.bool_),            # in AC phase
+        jnp.zeros((S, C), jnp.int32),       # dc predictors
+        jnp.zeros((S, B + 1, 64), jnp.int32),  # +1 slot absorbs drops
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[6][:, :B, :]
+
+
+def decode_scan_tpu(segments: list[bytes], comp_idx: np.ndarray,
+                    blocks_per_segment: int,
+                    tables: DecoderTables) -> np.ndarray:
+    """Drop-in alternative to entropy.scan.decode_scan running the Huffman
+    loop on device. Returns (n_blocks, 64) int32 coefficients."""
+    n_blocks = len(comp_idx)
+    segbytes, _lens = pack_segments(segments)
+    S = len(segments)
+    seg_blocks = np.full(S, blocks_per_segment, dtype=np.int32)
+    if n_blocks % blocks_per_segment:
+        seg_blocks[-1] = n_blocks % blocks_per_segment
+    comp_sched = np.asarray(comp_idx[:blocks_per_segment], dtype=np.int32)
+    dc_lut, ac_lut = expand_luts(tables)
+    out = decode_segments_device(
+        jnp.asarray(segbytes), jnp.asarray(seg_blocks),
+        jnp.asarray(comp_sched), jnp.asarray(dc_lut), jnp.asarray(ac_lut),
+        blocks_per_segment=blocks_per_segment)
+    return np.asarray(out).reshape(S * blocks_per_segment, 64)[:n_blocks]

@@ -53,9 +53,13 @@ class JpegDecoderSession:
     tables). Feed it entropy data from any frame with the same headers —
     the Motion-JPEG steady state."""
 
-    def __init__(self, header: Header, impl: str = "auto"):
+    def __init__(self, header: Header, impl: str = "auto",
+                 entropy: str = "native"):
+        """entropy: 'native' (C++ threads), 'python' (fallback spec), or
+        'tpu' (vectorized on-device Huffman loop, one segment per lane)."""
         self.header = header
         self.impl = impl
+        self.entropy = entropy
         # geometry via the golden model's component planner
         probe = Decoder(header, BitReader(b"\x00"))
         self.components = probe.components
@@ -110,8 +114,13 @@ class JpegDecoderSession:
     def decode_entropy(self, entropy_data: bytes) -> np.ndarray:
         """Raw (stuffed) entropy-coded bytes → (N,64) coefficients."""
         segments = entropy_scan.destuff_segments(entropy_data)
+        if self.entropy == "tpu":
+            from ..entropy.tpu_decode import decode_scan_tpu
+            return decode_scan_tpu(segments, self.comp_idx,
+                                   self.blocks_per_segment, self.tables)
         return entropy_scan.decode_scan(
-            segments, self.comp_idx, self.blocks_per_segment, self.tables)
+            segments, self.comp_idx, self.blocks_per_segment, self.tables,
+            use_native=(self.entropy == "native"))
 
     def decode_planes_device(self, coefs: np.ndarray):
         """(N,64) coefficients → tuple of decoded (padded) planes on
@@ -148,9 +157,12 @@ class JpegEncoderSession:
     stream this framework produces is parallel-decodable."""
 
     def __init__(self, params: Parameters, restart_interval: int = 0,
-                 impl: str = "auto"):
+                 impl: str = "auto", entropy: str = "native"):
+        """entropy: 'native' (C++ threads), 'python', or 'tpu' (on-device
+        scan+scatter bitstream packing)."""
         self.params = params
         self.impl = impl
+        self.entropy = entropy
         probe = Encoder(params, restart_interval=restart_interval)
         self.scans = probe.scans
         self._probe = probe
@@ -230,8 +242,14 @@ class JpegEncoderSession:
 
     def encode(self, frame) -> bytes:
         qcoefs = self.quantize_device(self.load_planes(frame))
-        segments = entropy_scan.encode_scan(
-            qcoefs, self.comp_idx, self.blocks_per_segment, self.tables)
+        if self.entropy == "tpu":
+            from ..entropy.tpu_encode import encode_scan_tpu
+            segments = encode_scan_tpu(
+                qcoefs, self.comp_idx, self.blocks_per_segment, self.tables)
+        else:
+            segments = entropy_scan.encode_scan(
+                qcoefs, self.comp_idx, self.blocks_per_segment, self.tables,
+                use_native=(self.entropy == "native"))
         w = BitWriter()
         enc = Encoder(self.params, w, restart_interval=self.restart_interval)
         enc.write_headers()
