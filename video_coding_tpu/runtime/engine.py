@@ -130,6 +130,9 @@ class JpegDecoderSession:
     def decode(self, entropy_data: bytes) -> Frame:
         coefs = self.decode_entropy(entropy_data)
         planes_dev = self.decode_planes_device(coefs)
+        return self._to_frame(planes_dev)
+
+    def _to_frame(self, planes_dev):
         planes = []
         for comp, dev in zip(self.components, planes_dev):
             arr = np.asarray(dev)
@@ -140,6 +143,49 @@ class JpegDecoderSession:
         if len(planes) == 3:
             return Frame.of_planes(*planes)
         return planes
+
+    # -- batched (Motion-JPEG) --------------------------------------------
+    def decode_batch(self, entropy_list: list[bytes]) -> list[Frame]:
+        """Decode many same-geometry frames: host entropy in parallel
+        threads (the C++ engine releases the GIL), one batched device call
+        for the numerics + assembly."""
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(8, len(entropy_list))) as pool:
+            coefs = list(pool.map(self.decode_entropy, entropy_list))
+        batch = jnp.asarray(np.stack(coefs))
+        planes_batched = self._jit_batch(batch)
+        return [
+            self._to_frame([p[i] for p in planes_batched])
+            for i in range(len(entropy_list))
+        ]
+
+    @functools.cached_property
+    def _jit_batch(self):
+        quant = jnp.asarray(self.quant)
+        geom = [(jnp.asarray(idx), nby, nbx)
+                for idx, nby, nbx in self.plane_geom]
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+
+        @jax.jit
+        def run(coefs_batch):  # (F, N, 64)
+            f = coefs_batch.shape[0]
+            flat = coefs_batch.reshape(-1, 64)
+            qrep = jnp.tile(quant, (f, 1))
+            if use_pallas:
+                pixels = datapath.decode_datapath_pallas(flat, qrep)
+            else:
+                pixels = datapath.decode_datapath_jnp(flat, qrep)
+            pixels = pixels.astype(jnp.uint8).reshape(
+                f, -1, 8, 8)
+            return tuple(
+                jax.vmap(lambda px: _plane_from_blocks(px, idx, nby, nbx))(
+                    pixels)
+                for idx, nby, nbx in geom)
+
+        return run
 
 
 def decode_jpeg(data: bytes, impl: str = "auto"):
@@ -240,16 +286,65 @@ class JpegEncoderSession:
     def quantize_device(self, planes) -> np.ndarray:
         return np.asarray(self._jit(*[jnp.asarray(p) for p in planes]))
 
-    def encode(self, frame) -> bytes:
-        qcoefs = self.quantize_device(self.load_planes(frame))
-        if self.entropy == "tpu":
-            from ..entropy.tpu_encode import encode_scan_tpu
-            segments = encode_scan_tpu(
-                qcoefs, self.comp_idx, self.blocks_per_segment, self.tables)
-        else:
-            segments = entropy_scan.encode_scan(
-                qcoefs, self.comp_idx, self.blocks_per_segment, self.tables,
-                use_native=(self.entropy == "native"))
+    # -- batched (Motion-JPEG) --------------------------------------------
+    def encode_batch(self, frames: list) -> list[bytes]:
+        """Encode many frames: one batched device call for the block
+        numerics, host entropy in parallel threads, headers per frame."""
+        import concurrent.futures
+
+        planes = [self.load_planes(f) for f in frames]
+        stacked = [jnp.asarray(np.stack([p[i] for p in planes]))
+                   for i in range(len(self.scans))]
+        q_batch = np.asarray(self._jit_batch(*stacked))
+
+        def finish(qcoefs):
+            if self.entropy == "tpu":
+                from ..entropy.tpu_encode import encode_scan_tpu
+                segments = encode_scan_tpu(
+                    qcoefs, self.comp_idx, self.blocks_per_segment,
+                    self.tables)
+            else:
+                segments = entropy_scan.encode_scan(
+                    qcoefs, self.comp_idx, self.blocks_per_segment,
+                    self.tables, use_native=(self.entropy == "native"))
+            return self._assemble(segments)
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(8, len(frames))) as pool:
+            return list(pool.map(finish, q_batch))
+
+    @functools.cached_property
+    def _jit_batch(self):
+        quant = jnp.asarray(self.quant)
+        gather = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
+                  for t, d, nby, nbx in self.gather]
+        n_blocks = self.n_blocks
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+
+        @jax.jit
+        def run(*planes_batched):  # each (F, H_s, W_s)
+            f = planes_batched[0].shape[0]
+
+            def one(*planes):
+                pixels = jnp.zeros((n_blocks, 8, 8), dtype=jnp.int32)
+                for plane, (take, dest, nby, nbx) in zip(planes, gather):
+                    blocks = _blocks_from_plane(
+                        plane.astype(jnp.int32), nby, nbx)
+                    pixels = pixels.at[dest].set(blocks[take])
+                return pixels
+
+            pixels = jax.vmap(one)(*planes_batched).reshape(-1, 8, 8)
+            qrep = jnp.tile(quant, (f, 1))
+            if use_pallas:
+                qc = datapath.encode_datapath_pallas(pixels, qrep)
+            else:
+                qc = datapath.encode_datapath_jnp(pixels, qrep)
+            return qc.reshape(f, n_blocks, 64)
+
+        return run
+
+    def _assemble(self, segments: list[bytes]) -> bytes:
         w = BitWriter()
         enc = Encoder(self.params, w, restart_interval=self.restart_interval)
         enc.write_headers()
@@ -262,6 +357,18 @@ class JpegEncoderSession:
         w.put_bits(0xFF, 8, stuffing=False)
         w.put_bits(marker_codes.EOI, 8, stuffing=False)
         return w.get_buffer()
+
+    def encode(self, frame) -> bytes:
+        qcoefs = self.quantize_device(self.load_planes(frame))
+        if self.entropy == "tpu":
+            from ..entropy.tpu_encode import encode_scan_tpu
+            segments = encode_scan_tpu(
+                qcoefs, self.comp_idx, self.blocks_per_segment, self.tables)
+        else:
+            segments = entropy_scan.encode_scan(
+                qcoefs, self.comp_idx, self.blocks_per_segment, self.tables,
+                use_native=(self.entropy == "native"))
+        return self._assemble(segments)
 
 
 def encode_jpeg(frame: Frame, quality: int = 75,
