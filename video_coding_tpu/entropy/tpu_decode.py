@@ -77,6 +77,9 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
     C = dc_lut.shape[0]
     seg32 = segbytes.astype(jnp.int32)
     lane = jnp.arange(S)
+    # one fused table: rows [0,C) = DC, rows [C,2C) = AC → a single gather
+    # per iteration instead of two
+    luts = jnp.concatenate([dc_lut, ac_lut], axis=0)
 
     def peek(bitpos, nbits_max=PEEK_BITS):
         byte = jnp.clip(bitpos >> 3, 0, L - 3)
@@ -98,10 +101,7 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
         active = blk < seg_blocks
         comp = comp_sched[jnp.clip(blk, 0, B - 1)]
         w16 = peek(bitpos)
-        # one gather per phase; select afterwards
-        dce = dc_lut[comp, w16]
-        ace = ac_lut[comp, w16]
-        entry = jnp.where(in_ac, ace, dce)
+        entry = luts[comp + jnp.where(in_ac, C, 0), w16]
         code_len = entry >> 16
         data = entry & 0xFFFF
         run = jnp.where(in_ac, (data >> 4) & 0xF, 0)
@@ -123,15 +123,15 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
         is_eob = in_ac & (run == 0) & (cat == 0)
         new_cof_ac = cof + run
         write_ac = in_ac & ~is_eob & active & (new_cof_ac < 64)
-        # coefficient writes (dropped when out of range / inactive)
-        write_blk = jnp.where(active, blk, B)
-        dc_write_idx = jnp.where(~in_ac & active, write_blk, B)
-        coefs = coefs.at[lane, dc_write_idx, 0].set(
-            dc_val, mode="drop")
-        ac_write_idx = jnp.where(write_ac, write_blk, B)
-        coefs = coefs.at[lane, ac_write_idx,
-                         jnp.clip(new_cof_ac, 0, 63)].set(
-            jnp.where(write_ac, val, 0), mode="drop")
+        write_dc = ~in_ac & active
+        # single fused coefficient scatter: DC and AC writes are mutually
+        # exclusive per lane, so select the index/value and write once
+        do_write = write_dc | write_ac
+        write_blk = jnp.where(do_write, blk, B)
+        write_cof = jnp.where(write_dc, 0, jnp.clip(new_cof_ac, 0, 63))
+        write_val = jnp.where(write_dc, dc_val, val)
+        coefs = coefs.at[lane, write_blk, write_cof].set(
+            write_val, mode="drop")
 
         cof_after = jnp.where(in_ac,
                               jnp.where(is_eob, 64, new_cof_ac + 1),

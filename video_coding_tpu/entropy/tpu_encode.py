@@ -6,11 +6,14 @@ The TPU-native re-formulation of the reference's serial encoder chain
 jpeg/hardcaml/src/encoder_datapath.ml:129-187):
 
 1. symbol construction is data-parallel per block: zero-runs come from a
-   cumulative-max over coefficient positions (no sequential FSM), ZRL
-   splitting gets 3 static slots per position, EOB one slot per block;
+   cumulative-max over coefficient positions (no sequential FSM); the ≤3
+   ZRL codes a block can ever need (total zeros ≤ 63) fold into the slot
+   of the following nonzero coefficient, giving a fixed 65-slot layout
+   (DC + 63 positions + EOB) with ≤59-bit composite symbols held in
+   uint32 (hi, lo) pairs;
 2. bit offsets come from an exclusive scan over per-symbol bit lengths
    within each restart segment;
-3. packing is a scatter-add of disjoint 5-byte windows;
+3. packing is a scatter-add of disjoint 9-byte windows;
 4. 0xFF00 stuffing is another scan (+1 output position per 0xFF) and
    scatter.
 
@@ -28,8 +31,8 @@ import numpy as np
 
 from .tables import EncoderTables
 
-# symbol slots per block: 1 DC + 63 positions x (3 ZRL + 1 code) + 1 EOB
-SLOTS_PER_BLOCK = 1 + 63 * 4 + 1
+# symbol slots per block: 1 DC + 63 positions (ZRLs folded in) + 1 EOB
+SLOTS_PER_BLOCK = 65
 
 
 def device_encoder_tables(tables: EncoderTables):
@@ -45,7 +48,6 @@ def device_encoder_tables(tables: EncoderTables):
 def _size_category(v):
     """Bit-length of |v| (encoder.ml:143) for |v| ≤ 2047."""
     mag = jnp.abs(v)
-    # bit length via comparisons (exact for the 12-bit coefficient range)
     return jnp.sum(mag[..., None] >= (1 << np.arange(12))[..., :],
                    axis=-1).astype(jnp.int32)
 
@@ -53,6 +55,44 @@ def _size_category(v):
 def _magnitude_bits(size, v):
     mask = (1 << size) - 1
     return jnp.where(v >= 0, v & mask, (v - 1) & mask)
+
+
+def _prepend(hi, lo, length, code, code_len, enable):
+    """Prepend ``code`` (≤16 bits) in front of the (hi,lo,length) symbol:
+    new value = code·2^length + value. uint32 pieces, exact."""
+    code = code.astype(jnp.uint32)
+    # contribution of code << length to (hi, lo)
+    sh = length
+    lo_add = jnp.where(sh < 32,
+                       jnp.where(sh == 0, code, code << jnp.minimum(sh, 31)),
+                       jnp.uint32(0))
+    hi_add = jnp.where(
+        sh < 32,
+        jnp.where(sh == 0, jnp.uint32(0),
+                  code >> jnp.clip(32 - sh, 1, 31)),
+        code << jnp.clip(sh - 32, 0, 31))
+    new_hi = jnp.where(enable, hi + hi_add, hi)
+    new_lo = jnp.where(enable, lo + lo_add, lo)
+    # disjoint bit ranges → additions never carry between lo and hi
+    new_len = jnp.where(enable, length + code_len, length)
+    return new_hi, new_lo, new_len
+
+
+def _extract_byte(hi, lo, s):
+    """Low byte of (hi·2^32 + lo) >> s for -8 ≤ s ≤ 63 (uint32 math).
+
+    Inputs are recast to uint32 defensively: if dtype promotion anywhere
+    upstream produced int32, ``>>`` would sign-extend and corrupt bytes."""
+    hi = hi.astype(jnp.uint32)
+    lo = lo.astype(jnp.uint32)
+    s_ge32 = (hi >> jnp.clip(s - 32, 0, 31).astype(jnp.uint32)) & 0xFF
+    lo_part = lo >> jnp.clip(s, 0, 31).astype(jnp.uint32)
+    hi_part = jnp.where(
+        s == 0, jnp.uint32(0),
+        hi << jnp.clip(32 - s, 0, 31).astype(jnp.uint32))
+    s_lt32 = (lo_part | hi_part) & 0xFF
+    s_neg = (lo << jnp.clip(-s, 0, 8).astype(jnp.uint32)) & 0xFF
+    return jnp.where(s >= 32, s_ge32, jnp.where(s >= 0, s_lt32, s_neg))
 
 
 @functools.partial(jax.jit,
@@ -63,20 +103,15 @@ def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
     """Encode all restart segments in parallel on device.
 
     qcoefs: (N, 64) int32 zigzag quantized coefficients, N divisible by
-    blocks_per_segment (pad with all-zero blocks and slice lengths on the
-    host if needed — but the engine always passes exact multiples except
-    the final short segment, handled by the caller).
-    Returns (bytes (S, M) uint8 stuffed+padded, seg_byte_lens (S,)).
-    """
+    blocks_per_segment. Returns (bytes (S, M) uint8 stuffed+padded,
+    seg_byte_lens (S,))."""
     N = qcoefs.shape[0]
     B = blocks_per_segment
     S = N // B
     q = qcoefs.astype(jnp.int32)
 
     # ---- per-block symbols (data parallel) -------------------------------
-    # DC differential per *scan component* within each segment:
-    # prev_same_comp[i] = in-segment index of the previous block with the
-    # same component (or -1), a static property of the MCU schedule.
+    # DC differential per scan component within each segment
     dcs = q[:, 0].reshape(S, B)
     has_prev = prev_same_comp >= 0
     prev = jnp.where(has_prev[None, :],
@@ -86,18 +121,20 @@ def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
     c = comp_idx
     dc_code = dc_bits[c, dsize]
     dc_clen = dc_len[c, dsize]
-    dc_sym_bits = (dc_code << dsize) | _magnitude_bits(dsize, diff)
-    dc_sym_len = dc_clen + dsize
+    dc_lo = (((dc_code << dsize) | _magnitude_bits(dsize, diff))
+             .astype(jnp.uint32))
+    dc_hi = jnp.zeros_like(dc_lo)
+    dc_slen = dc_clen + dsize
 
     # AC positions 1..63: zero runs via cumulative max of last-nonzero idx
     pos = jnp.arange(64)
     nzmask = q != 0
     anchor = jnp.where(nzmask | (pos == 0), pos, 0)  # DC anchors the run
-    last_nz_before = jax.lax.cummax(anchor, axis=1)  # inclusive
+    last_nz_before = jax.lax.cummax(anchor, axis=1)
     prev_nz = jnp.concatenate(
         [jnp.zeros((N, 1), jnp.int32), last_nz_before[:, :-1]], axis=1)
-    run = pos - prev_nz - 1  # zeros between previous nonzero and here
-    last_nz = jnp.max(anchor, axis=1)  # 0 when no AC coefficients
+    run = pos - prev_nz - 1
+    last_nz = jnp.max(anchor, axis=1)
 
     ac = q[:, 1:]                      # (N, 63)
     ac_nz = nzmask[:, 1:]
@@ -107,58 +144,57 @@ def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
     zrl_count = ac_run >> 4
     code = ac_bits[c[:, None], final_run, asize]
     clen = ac_len[c[:, None], final_run, asize]
-    ac_sym_bits = (code << asize) | _magnitude_bits(asize, ac)
-    ac_sym_len = jnp.where(ac_nz, clen + asize, 0)
+    base_lo = ((code << asize) | _magnitude_bits(asize, ac)).astype(jnp.uint32)
+    base_hi = jnp.zeros_like(base_lo)
+    base_len = jnp.where(ac_nz, clen + asize, 0)
 
-    zrl_bits = ac_bits[c, 15, 0]
-    zrl_len = ac_len[c, 15, 0]
+    # fold the ≤3 ZRLs in front of their following code
+    zrl_bits = ac_bits[c, 15, 0][:, None]
+    zrl_len = ac_len[c, 15, 0][:, None]
+    hi, lo, ln = base_hi, base_lo, base_len
+    for k in (1, 2, 3):
+        enable = ac_nz & (zrl_count >= k)
+        hi, lo, ln = _prepend(hi, lo, ln, zrl_bits, zrl_len, enable)
+
     eob_bits = ac_bits[c, 0, 0]
     eob_len = ac_len[c, 0, 0]
-
-    # slot layout per block: [dc, (zrl,zrl,zrl,code) x63, eob]
-    k = jnp.arange(3)
-    zrl_slot_len = jnp.where(ac_nz[..., None] & (k < zrl_count[..., None]),
-                             zrl_len[:, None, None], 0)       # (N,63,3)
-    zrl_slot_bits = jnp.broadcast_to(zrl_bits[:, None, None],
-                                     zrl_slot_len.shape)
-    pos_bits = jnp.concatenate(
-        [zrl_slot_bits, ac_sym_bits[..., None]], axis=2)      # (N,63,4)
-    pos_len = jnp.concatenate(
-        [zrl_slot_len, ac_sym_len[..., None]], axis=2)
     need_eob = last_nz < 63
-    sym_bits = jnp.concatenate([
-        dc_sym_bits[:, None], pos_bits.reshape(N, 63 * 4),
-        jnp.where(need_eob, eob_bits, 0)[:, None]], axis=1)
-    sym_len = jnp.concatenate([
-        dc_sym_len[:, None], pos_len.reshape(N, 63 * 4),
-        jnp.where(need_eob, eob_len, 0)[:, None]], axis=1)
+    eob_lo = jnp.where(need_eob, eob_bits, 0).astype(jnp.uint32)
+
+    sym_hi = jnp.concatenate(
+        [dc_hi[:, None], hi, jnp.zeros((N, 1), jnp.uint32)], axis=1)
+    sym_lo = jnp.concatenate([dc_lo[:, None], lo, eob_lo[:, None]], axis=1)
+    sym_len = jnp.concatenate(
+        [dc_slen[:, None], ln, jnp.where(need_eob, eob_len, 0)[:, None]],
+        axis=1)
 
     # ---- bit offsets: exclusive scan per segment -------------------------
-    sym_bits = sym_bits.reshape(S, B * SLOTS_PER_BLOCK)
+    sym_hi = sym_hi.reshape(S, B * SLOTS_PER_BLOCK)
+    sym_lo = sym_lo.reshape(S, B * SLOTS_PER_BLOCK)
     sym_len = sym_len.reshape(S, B * SLOTS_PER_BLOCK)
     ends = jnp.cumsum(sym_len, axis=1)
     offs = ends - sym_len
     total_bits = ends[:, -1]
-    # 1-fill padding to a byte boundary (flush_with_1s)
     pad_len = (-total_bits) & 7
-    pad_bits = (1 << pad_len) - 1
-    sym_bits = jnp.concatenate([sym_bits, pad_bits[:, None]], axis=1)
+    pad_bits = ((1 << pad_len) - 1).astype(jnp.uint32)
+    sym_hi = jnp.concatenate(
+        [sym_hi, jnp.zeros((S, 1), jnp.uint32)], axis=1)
+    sym_lo = jnp.concatenate([sym_lo, pad_bits[:, None]], axis=1)
     sym_len = jnp.concatenate([sym_len, pad_len[:, None]], axis=1)
     offs = jnp.concatenate([offs, total_bits[:, None]], axis=1)
     raw_bytes_len = (total_bits + pad_len) >> 3
 
-    # ---- scatter 5-byte windows ------------------------------------------
+    # ---- scatter 9-byte windows ------------------------------------------
     M = max_seg_bytes
     shift = offs & 7
     b0 = offs >> 3
-    acc = jnp.zeros((S, M + 8), jnp.int32)
+    acc = jnp.zeros((S, M + 16), jnp.int32)
     seg_ids = jnp.broadcast_to(jnp.arange(S)[:, None], b0.shape)
-    for kk in range(5):
-        ek = 8 + 8 * kk - shift - sym_len
-        left = ((sym_bits & 0xFF) << jnp.clip(ek, 0, 8)) & 0xFF
-        right = (sym_bits >> jnp.clip(-ek, 0, 31)) & 0xFF
-        val = jnp.where(sym_len > 0, jnp.where(ek >= 0, left, right), 0)
-        idx = jnp.where(sym_len > 0, b0 + kk, M + 7)
+    for kk in range(9):
+        s_k = sym_len + shift - 8 * kk - 8
+        val = _extract_byte(sym_hi, sym_lo, s_k).astype(jnp.int32)
+        val = jnp.where(sym_len > 0, val, 0)
+        idx = jnp.where(sym_len > 0, b0 + kk, M + 15)
         acc = acc.at[seg_ids, idx].add(val, mode="drop")
     raw = acc[:, :M].astype(jnp.uint8)
 
@@ -188,9 +224,6 @@ def encode_scan_tpu(qcoefs: np.ndarray, comp_idx: np.ndarray,
     q = np.ascontiguousarray(qcoefs, dtype=np.int32)
     ci = np.ascontiguousarray(comp_idx, dtype=np.int32)
     if pad_blocks:
-        # pad with all-zero blocks of component 0; they only append
-        # symbols after the real data in the final segment, which we trim
-        # by re-encoding that segment exactly on the host
         q = np.concatenate([q, np.zeros((pad_blocks, 64), np.int32)])
         ci = np.concatenate([ci, np.zeros(pad_blocks, np.int32)])
     dc_bits, dc_len, ac_bits, ac_len = device_encoder_tables(tables)

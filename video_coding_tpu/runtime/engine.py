@@ -144,6 +144,134 @@ class JpegDecoderSession:
             return Frame.of_planes(*planes)
         return planes
 
+    # -- fully on-device decode (entropy + numerics fused in one jit) -----
+    def decode_device_e2e(self, entropy_data: bytes):
+        """Raw entropy bytes → decoded planes with the Huffman loop AND the
+        block datapath on device in a single jit graph. Only the (small)
+        destuffed bitstream crosses to the device and only the planes come
+        back — the production path when host↔device bandwidth is the
+        bottleneck."""
+        from ..entropy import tpu_decode
+
+        segments = entropy_scan.destuff_segments(entropy_data)
+        segbytes, _lens = tpu_decode.pack_segments(segments)
+        S = len(segments)
+        B = self.blocks_per_segment
+        n_seg_expected = (self.n_blocks + B - 1) // B
+        if S != n_seg_expected:
+            raise DecodeError(
+                f"expected {n_seg_expected} restart segments, got {S}")
+        seg_blocks = np.full(S, B, dtype=np.int32)
+        if self.n_blocks % B:
+            seg_blocks[-1] = self.n_blocks % B
+        # bucket the byte length to bound recompiles
+        L = 1 << max(8, (segbytes.shape[1] - 1).bit_length())
+        if L > segbytes.shape[1]:
+            segbytes = np.pad(segbytes,
+                              ((0, 0), (0, L - segbytes.shape[1])))
+        fn = self._device_e2e_jit(L)
+        return fn(jnp.asarray(segbytes), jnp.asarray(seg_blocks))
+
+    def decode_device(self, entropy_data: bytes) -> Frame:
+        return self._to_frame(self.decode_device_e2e(entropy_data))
+
+    @functools.lru_cache(maxsize=8)
+    def _device_e2e_jit(self, L: int):
+        from ..entropy import tpu_decode
+
+        B = self.blocks_per_segment
+        n_blocks = self.n_blocks
+        comp_sched = jnp.asarray(self.comp_idx[:B])
+        dc_lut_np, ac_lut_np = tpu_decode.expand_luts(self.tables)
+        dc_lut = jnp.asarray(dc_lut_np)
+        ac_lut = jnp.asarray(ac_lut_np)
+        quant = jnp.asarray(self.quant)
+        geom = [(jnp.asarray(idx), nby, nbx)
+                for idx, nby, nbx in self.plane_geom]
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+
+        @jax.jit
+        def run(segbytes, seg_blocks):
+            coefs3 = tpu_decode.decode_segments_device(
+                segbytes, seg_blocks, comp_sched, dc_lut, ac_lut,
+                blocks_per_segment=B)
+            coefs = coefs3.reshape(-1, 64)[:n_blocks]
+            if use_pallas:
+                pixels = datapath.decode_datapath_pallas(coefs, quant)
+            else:
+                pixels = datapath.decode_datapath_jnp(coefs, quant)
+            pixels = pixels.astype(jnp.uint8)
+            return tuple(_plane_from_blocks(pixels, idx, nby, nbx)
+                         for idx, nby, nbx in geom)
+
+        return run
+
+    def decode_device_batch(self, entropy_list: list[bytes]):
+        """Batched fused decode: all frames' restart segments become one
+        big lane pool for the device Huffman loop; one jit call end to
+        end. Returns a list of per-frame plane tuples (device arrays)."""
+        from ..entropy import tpu_decode
+
+        F = len(entropy_list)
+        B = self.blocks_per_segment
+        n_seg = (self.n_blocks + B - 1) // B
+        all_segments = []
+        for e in entropy_list:
+            segs = entropy_scan.destuff_segments(e)
+            if len(segs) != n_seg:
+                raise DecodeError("restart segment count mismatch")
+            all_segments.extend(segs)
+        segbytes, _ = tpu_decode.pack_segments(all_segments)
+        L = 1 << max(8, (segbytes.shape[1] - 1).bit_length())
+        if L > segbytes.shape[1]:
+            segbytes = np.pad(segbytes,
+                              ((0, 0), (0, L - segbytes.shape[1])))
+        seg_blocks = np.full(n_seg, B, dtype=np.int32)
+        if self.n_blocks % B:
+            seg_blocks[-1] = self.n_blocks % B
+        seg_blocks = np.tile(seg_blocks, F)
+        fn = self._device_e2e_batch_jit(F, L)
+        planes = fn(jnp.asarray(segbytes), jnp.asarray(seg_blocks))
+        return [tuple(p[i] for p in planes) for i in range(F)]
+
+    @functools.lru_cache(maxsize=8)
+    def _device_e2e_batch_jit(self, F: int, L: int):
+        from ..entropy import tpu_decode
+
+        B = self.blocks_per_segment
+        n_blocks = self.n_blocks
+        n_seg = (n_blocks + B - 1) // B
+        comp_sched = jnp.asarray(self.comp_idx[:B])
+        dc_lut_np, ac_lut_np = tpu_decode.expand_luts(self.tables)
+        dc_lut = jnp.asarray(dc_lut_np)
+        ac_lut = jnp.asarray(ac_lut_np)
+        quant = jnp.asarray(self.quant)
+        geom = [(jnp.asarray(idx), nby, nbx)
+                for idx, nby, nbx in self.plane_geom]
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+
+        @jax.jit
+        def run(segbytes, seg_blocks):
+            coefs3 = tpu_decode.decode_segments_device(
+                segbytes, seg_blocks, comp_sched, dc_lut, ac_lut,
+                blocks_per_segment=B)
+            coefs = coefs3.reshape(F, n_seg * B, 64)[:, :n_blocks, :]
+            flat = coefs.reshape(-1, 64)
+            qrep = jnp.tile(quant, (F, 1))
+            if use_pallas:
+                pixels = datapath.decode_datapath_pallas(flat, qrep)
+            else:
+                pixels = datapath.decode_datapath_jnp(flat, qrep)
+            pixels = pixels.astype(jnp.uint8).reshape(F, n_blocks, 8, 8)
+            return tuple(
+                jax.vmap(lambda px: _plane_from_blocks(px, idx, nby, nbx))(
+                    pixels)
+                for idx, nby, nbx in geom)
+
+        return run
+
     # -- batched (Motion-JPEG) --------------------------------------------
     def decode_batch(self, entropy_list: list[bytes]) -> list[Frame]:
         """Decode many same-geometry frames: host entropy in parallel
@@ -285,6 +413,166 @@ class JpegEncoderSession:
 
     def quantize_device(self, planes) -> np.ndarray:
         return np.asarray(self._jit(*[jnp.asarray(p) for p in planes]))
+
+    # -- fully on-device encode (numerics + entropy fused in one jit) -----
+    def encode_device(self, frame) -> bytes:
+        """Planes → JPEG with the block numerics AND the entropy packing on
+        device in one jit graph. Only planes go up and the packed segment
+        bytes come back."""
+        planes = self.load_planes(frame)
+        out, lens, tail_q = self._device_e2e_enc_jit(
+            *[jnp.asarray(p) for p in planes])
+        out = np.asarray(out)
+        lens = np.asarray(lens)
+        n_segments = out.shape[0]
+        segments = [out[s, :lens[s]].tobytes() for s in range(n_segments)]
+        B = self.blocks_per_segment
+        if self.n_blocks % B:
+            # final short segment: re-encode exactly on host from the
+            # (small) tail coefficients computed on device
+            first = (n_segments - 1) * B
+            tail = entropy_scan.encode_scan(
+                np.asarray(tail_q), self.comp_idx[first:],
+                self.n_blocks - first, self.tables)
+            segments[-1] = tail[0]
+        return self._assemble(segments)
+
+    @functools.cached_property
+    def _device_e2e_enc_jit(self):
+        from ..entropy import tpu_encode
+
+        B = self.blocks_per_segment
+        n_blocks = self.n_blocks
+        n_segments = (n_blocks + B - 1) // B
+        pad_blocks = n_segments * B - n_blocks
+        tail_count = n_blocks - (n_segments - 1) * B
+        quant = jnp.asarray(self.quant)
+        gather = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
+                  for t, d, nby, nbx in self.gather]
+        comp_full = np.concatenate(
+            [self.comp_idx, np.zeros(pad_blocks, np.int32)])
+        comp_dev = jnp.asarray(comp_full)
+        sched = self.comp_idx[:B]
+        prev_same = np.full(B, -1, dtype=np.int32)
+        last_seen: dict[int, int] = {}
+        for i, c in enumerate(sched):
+            prev_same[i] = last_seen.get(int(c), -1)
+            last_seen[int(c)] = i
+        prev_same_dev = jnp.asarray(prev_same)
+        dcb, dcl, acb, acl = tpu_encode.device_encoder_tables(self.tables)
+        dcb, dcl, acb, acl = map(jnp.asarray, (dcb, dcl, acb, acl))
+        max_seg_bytes = B * 64 * 4 + 64
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+
+        @jax.jit
+        def run(*planes):
+            pixels = jnp.zeros((n_blocks, 8, 8), dtype=jnp.int32)
+            for plane, (take, dest, nby, nbx) in zip(planes, gather):
+                blocks = _blocks_from_plane(plane.astype(jnp.int32),
+                                            nby, nbx)
+                pixels = pixels.at[dest].set(blocks[take])
+            if use_pallas:
+                qc = datapath.encode_datapath_pallas(pixels, quant)
+            else:
+                qc = datapath.encode_datapath_jnp(pixels, quant)
+            if pad_blocks:
+                qc_padded = jnp.concatenate(
+                    [qc, jnp.zeros((pad_blocks, 64), jnp.int32)])
+            else:
+                qc_padded = qc
+            out, lens = tpu_encode.encode_segments_device(
+                qc_padded, comp_dev, prev_same_dev, dcb, dcl, acb, acl,
+                blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
+            tail_q = qc[n_blocks - tail_count:]
+            return out, lens, tail_q
+
+        return run
+
+    def encode_device_batch(self, frames: list) -> list[bytes]:
+        """Batched fused encode: one jit call runs numerics + entropy
+        packing for every frame; hosts only assemble headers/markers."""
+        planes = [self.load_planes(f) for f in frames]
+        stacked = [jnp.asarray(np.stack([p[i] for p in planes]))
+                   for i in range(len(self.scans))]
+        F = len(frames)
+        out, lens, tails = self._device_e2e_enc_batch_jit(F)(*stacked)
+        out = np.asarray(out)
+        lens = np.asarray(lens)
+        tails = np.asarray(tails)
+        B = self.blocks_per_segment
+        n_seg = (self.n_blocks + B - 1) // B
+        results = []
+        for f in range(F):
+            segs = [out[f * n_seg + s, :lens[f * n_seg + s]].tobytes()
+                    for s in range(n_seg)]
+            if self.n_blocks % B:
+                first = (n_seg - 1) * B
+                tail = entropy_scan.encode_scan(
+                    tails[f], self.comp_idx[first:],
+                    self.n_blocks - first, self.tables)
+                segs[-1] = tail[0]
+            results.append(self._assemble(segs))
+        return results
+
+    @functools.lru_cache(maxsize=4)
+    def _device_e2e_enc_batch_jit(self, F: int):
+        from ..entropy import tpu_encode
+
+        B = self.blocks_per_segment
+        n_blocks = self.n_blocks
+        n_segments = (n_blocks + B - 1) // B
+        pad_blocks = n_segments * B - n_blocks
+        tail_count = n_blocks - (n_segments - 1) * B
+        quant = jnp.asarray(self.quant)
+        gather = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
+                  for t, d, nby, nbx in self.gather]
+        comp_one = np.concatenate(
+            [self.comp_idx, np.zeros(pad_blocks, np.int32)])
+        comp_dev = jnp.asarray(np.tile(comp_one, F))
+        sched = self.comp_idx[:B]
+        prev_same = np.full(B, -1, dtype=np.int32)
+        last_seen: dict[int, int] = {}
+        for i, c in enumerate(sched):
+            prev_same[i] = last_seen.get(int(c), -1)
+            last_seen[int(c)] = i
+        prev_same_dev = jnp.asarray(prev_same)
+        dcb, dcl, acb, acl = tpu_encode.device_encoder_tables(self.tables)
+        dcb, dcl, acb, acl = map(jnp.asarray, (dcb, dcl, acb, acl))
+        max_seg_bytes = B * 64 * 4 + 64
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+
+        @jax.jit
+        def run(*planes_batched):
+            def one(*planes):
+                pixels = jnp.zeros((n_blocks, 8, 8), dtype=jnp.int32)
+                for plane, (take, dest, nby, nbx) in zip(planes, gather):
+                    blocks = _blocks_from_plane(
+                        plane.astype(jnp.int32), nby, nbx)
+                    pixels = pixels.at[dest].set(blocks[take])
+                return pixels
+
+            pixels = jax.vmap(one)(*planes_batched).reshape(-1, 8, 8)
+            qrep = jnp.tile(quant, (F, 1))
+            if use_pallas:
+                qc = datapath.encode_datapath_pallas(pixels, qrep)
+            else:
+                qc = datapath.encode_datapath_jnp(pixels, qrep)
+            qc = qc.reshape(F, n_blocks, 64)
+            if pad_blocks:
+                qc_padded = jnp.concatenate(
+                    [qc, jnp.zeros((F, pad_blocks, 64), jnp.int32)], axis=1)
+            else:
+                qc_padded = qc
+            out, lens = tpu_encode.encode_segments_device(
+                qc_padded.reshape(-1, 64), comp_dev, prev_same_dev,
+                dcb, dcl, acb, acl,
+                blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
+            tails = qc[:, n_blocks - tail_count:, :]
+            return out, lens, tails
+
+        return run
 
     # -- batched (Motion-JPEG) --------------------------------------------
     def encode_batch(self, frames: list) -> list[bytes]:
