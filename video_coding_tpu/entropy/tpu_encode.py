@@ -95,6 +95,106 @@ def _extract_byte(hi, lo, s):
     return jnp.where(s >= 32, s_ge32, jnp.where(s >= 0, s_lt32, s_neg))
 
 
+# max symbols that can overlap one output byte: composite symbols are
+# ≥ 2 bits (shortest canonical code is 2 bits), so ≤ ceil(8/2)+1 = 5
+OVERLAP = 6
+
+
+def _pack_gather(sym_hi, sym_lo, sym_len, M):
+    """Pack ordered variable-length symbols into bytes without scatters.
+
+    Slot bit-offsets are monotone within a segment, so every output byte
+    can *gather* the ≤ OVERLAP symbols that cover it via searchsorted —
+    TPU-friendly (gathers vectorize; scatters with colliding indices
+    serialize). Returns (raw_bytes (S, M) uint8, raw_byte_lens, overflow).
+    """
+    S = sym_hi.shape[0]
+    ends = jnp.cumsum(sym_len, axis=1)
+    offs = ends - sym_len
+    total_bits = ends[:, -1]
+    pad_len = (-total_bits) & 7
+    pad_bits = ((1 << pad_len) - 1).astype(jnp.uint32)
+    sym_hi = jnp.concatenate(
+        [sym_hi, jnp.zeros((S, 1), jnp.uint32)], axis=1)
+    sym_lo = jnp.concatenate([sym_lo, pad_bits[:, None]], axis=1)
+    sym_len = jnp.concatenate([sym_len, pad_len[:, None]], axis=1)
+    offs = jnp.concatenate([offs, total_bits[:, None]], axis=1)
+    ends = jnp.concatenate([ends, (total_bits + pad_len)[:, None]], axis=1)
+    raw_bytes_len = (total_bits + pad_len) >> 3
+    overflow = jnp.any(raw_bytes_len > M)
+
+    # compact away zero-length slots so consecutive symbols are ≥2 bits
+    # (except the final pad) and OVERLAP bounds the per-byte gather count
+    nz = sym_len > 0
+    rank = jnp.cumsum(nz, axis=1)          # 1-based rank among non-empty
+    n_compact = rank[:, -1]
+    K = sym_len.shape[1]
+    r_idx = jnp.arange(K)
+
+    def compact_row(rank_row, values_row):
+        src = jnp.searchsorted(rank_row, r_idx + 1, side="left")
+        return values_row[jnp.clip(src, 0, K - 1)]
+
+    def compact(values):
+        return jax.vmap(compact_row)(rank, values)
+
+    c_hi = compact(sym_hi)
+    c_lo = compact(sym_lo)
+    c_end = compact(ends)
+    c_off = compact(offs)
+    c_valid_slot = r_idx[None, :] < n_compact[:, None]
+    # bytes beyond a row's symbol count must never match searches
+    big = jnp.int32(1 << 30)
+    c_end_search = jnp.where(c_valid_slot, c_end, big)
+
+    byte_bits = (jnp.arange(M) * 8)
+
+    def first_sym_row(end_row):
+        return jnp.searchsorted(end_row, byte_bits, side="right")
+
+    a = jax.vmap(first_sym_row)(c_end_search)   # (S, M)
+
+    acc = jnp.zeros((S, M), jnp.uint32)
+    lane = jnp.arange(S)[:, None]
+    for t in range(OVERLAP):
+        idx = jnp.clip(a + t, 0, K - 1)
+        hi = c_hi[lane, idx]
+        lo = c_lo[lane, idx]
+        end = c_end[lane, idx]
+        off = c_off[lane, idx]
+        valid = ((a + t) < n_compact[:, None]) \
+            & (off < byte_bits[None, :] + 8) \
+            & (end > byte_bits[None, :])
+        s = jnp.clip(end - byte_bits[None, :] - 8, -8, 63)
+        val = _extract_byte(hi, lo, s)
+        acc = acc + jnp.where(valid, val, 0)
+    raw = acc.astype(jnp.uint8)
+    return raw, raw_bytes_len, overflow
+
+
+def _stuff_gather(raw, raw_bytes_len, M_out):
+    """0xFF→0xFF00 stuffing as a gather: output position o maps back to
+    its source byte via searchsorted over the monotone dest positions."""
+    S, M = raw.shape
+    byte_pos = jnp.arange(M)
+    valid = byte_pos[None, :] < raw_bytes_len[:, None]
+    is_ff = (raw == 0xFF) & valid
+    ff_before = jnp.cumsum(is_ff, axis=1) - is_ff.astype(jnp.int32)
+    dest = jnp.where(valid, byte_pos[None, :] + ff_before, 1 << 30)
+    out_lens = raw_bytes_len + jnp.sum(is_ff, axis=1)
+    overflow = jnp.any(out_lens > M_out)
+    out_pos = jnp.arange(M_out)
+
+    def row(dest_row, raw_row):
+        src = jnp.searchsorted(dest_row, out_pos, side="left")
+        src_c = jnp.clip(src, 0, M - 1)
+        exact = dest_row[src_c] == out_pos
+        return jnp.where(exact, raw_row[src_c], 0).astype(jnp.uint8)
+
+    out = jax.vmap(row)(dest, raw)
+    return out, out_lens, overflow
+
+
 @functools.partial(jax.jit,
                    static_argnames=("blocks_per_segment", "max_seg_bytes"))
 def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
@@ -104,7 +204,8 @@ def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
 
     qcoefs: (N, 64) int32 zigzag quantized coefficients, N divisible by
     blocks_per_segment. Returns (bytes (S, M) uint8 stuffed+padded,
-    seg_byte_lens (S,))."""
+    seg_byte_lens (S,), overflow flag — when True the caller must fall
+    back to a larger buffer or the host coder)."""
     N = qcoefs.shape[0]
     B = blocks_per_segment
     S = N // B
@@ -168,48 +269,17 @@ def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
         [dc_slen[:, None], ln, jnp.where(need_eob, eob_len, 0)[:, None]],
         axis=1)
 
-    # ---- bit offsets: exclusive scan per segment -------------------------
+    # ---- gather-only pack + stuffing -------------------------------------
     sym_hi = sym_hi.reshape(S, B * SLOTS_PER_BLOCK)
     sym_lo = sym_lo.reshape(S, B * SLOTS_PER_BLOCK)
     sym_len = sym_len.reshape(S, B * SLOTS_PER_BLOCK)
-    ends = jnp.cumsum(sym_len, axis=1)
-    offs = ends - sym_len
-    total_bits = ends[:, -1]
-    pad_len = (-total_bits) & 7
-    pad_bits = ((1 << pad_len) - 1).astype(jnp.uint32)
-    sym_hi = jnp.concatenate(
-        [sym_hi, jnp.zeros((S, 1), jnp.uint32)], axis=1)
-    sym_lo = jnp.concatenate([sym_lo, pad_bits[:, None]], axis=1)
-    sym_len = jnp.concatenate([sym_len, pad_len[:, None]], axis=1)
-    offs = jnp.concatenate([offs, total_bits[:, None]], axis=1)
-    raw_bytes_len = (total_bits + pad_len) >> 3
-
-    # ---- scatter 9-byte windows ------------------------------------------
-    M = max_seg_bytes
-    shift = offs & 7
-    b0 = offs >> 3
-    acc = jnp.zeros((S, M + 16), jnp.int32)
-    seg_ids = jnp.broadcast_to(jnp.arange(S)[:, None], b0.shape)
-    for kk in range(9):
-        s_k = sym_len + shift - 8 * kk - 8
-        val = _extract_byte(sym_hi, sym_lo, s_k).astype(jnp.int32)
-        val = jnp.where(sym_len > 0, val, 0)
-        idx = jnp.where(sym_len > 0, b0 + kk, M + 15)
-        acc = acc.at[seg_ids, idx].add(val, mode="drop")
-    raw = acc[:, :M].astype(jnp.uint8)
-
-    # ---- stuffing: 0xFF → 0xFF 0x00 --------------------------------------
-    byte_pos = jnp.arange(M)
-    valid = byte_pos[None, :] < raw_bytes_len[:, None]
-    is_ff = (raw == 0xFF) & valid
-    ff_before = jnp.cumsum(is_ff, axis=1) - is_ff.astype(jnp.int32)
-    dest = byte_pos[None, :] + ff_before
-    out = jnp.zeros((S, M), jnp.uint8)
-    dest = jnp.where(valid, dest, M)
-    byte_seg_ids = jnp.broadcast_to(jnp.arange(S)[:, None], (S, M))
-    out = out.at[byte_seg_ids, dest].set(raw, mode="drop")
-    out_lens = raw_bytes_len + jnp.sum(is_ff, axis=1)
-    return out, out_lens
+    # raw buffer sized for the pre-stuffing bytes; the stuffed output gets
+    # 25% headroom — overflow is reported, not silently truncated
+    M_raw = max_seg_bytes
+    raw, raw_bytes_len, ovf1 = _pack_gather(sym_hi, sym_lo, sym_len, M_raw)
+    M_out = M_raw + M_raw // 4 + 8
+    out, out_lens, ovf2 = _stuff_gather(raw, raw_bytes_len, M_out)
+    return out, out_lens, ovf1 | ovf2
 
 
 def encode_scan_tpu(qcoefs: np.ndarray, comp_idx: np.ndarray,
@@ -234,12 +304,20 @@ def encode_scan_tpu(qcoefs: np.ndarray, comp_idx: np.ndarray,
     for i, c in enumerate(sched):
         prev_same[i] = last_seen.get(int(c), -1)
         last_seen[int(c)] = i
-    max_seg_bytes = B * 64 * 4 + 64
-    out, lens = encode_segments_device(
-        jnp.asarray(q), jnp.asarray(ci), jnp.asarray(prev_same),
-        jnp.asarray(dc_bits), jnp.asarray(dc_len), jnp.asarray(ac_bits),
-        jnp.asarray(ac_len),
-        blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
+    # typical segments are far below the theoretical worst case; start
+    # with a lean buffer and escalate on the (reported) overflow
+    # fallback size covers the absolute worst case: ≤208 raw bytes/block,
+    # ≤2x after stuffing — 512 B/block raw buffer → 640 B/block stuffed
+    for max_seg_bytes in (B * 128 + 64, B * 512 + 64):
+        out, lens, overflow = encode_segments_device(
+            jnp.asarray(q), jnp.asarray(ci), jnp.asarray(prev_same),
+            jnp.asarray(dc_bits), jnp.asarray(dc_len), jnp.asarray(ac_bits),
+            jnp.asarray(ac_len),
+            blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
+        if not bool(overflow):
+            break
+    else:
+        raise ValueError("device entropy encode overflow")
     out = np.asarray(out)
     lens = np.asarray(lens)
     segments = [out[s, :lens[s]].tobytes() for s in range(n_segments)]

@@ -420,8 +420,14 @@ class JpegEncoderSession:
         device in one jit graph. Only planes go up and the packed segment
         bytes come back."""
         planes = self.load_planes(frame)
-        out, lens, tail_q = self._device_e2e_enc_jit(
-            *[jnp.asarray(p) for p in planes])
+        B = self.blocks_per_segment
+        for msb in (B * 128 + 64, B * 512 + 64):
+            out, lens, tail_q, overflow = self._device_e2e_enc_jit(msb)(
+                *[jnp.asarray(p) for p in planes])
+            if not bool(overflow):
+                break
+        else:
+            raise ValueError("device entropy encode overflow")
         out = np.asarray(out)
         lens = np.asarray(lens)
         n_segments = out.shape[0]
@@ -437,8 +443,8 @@ class JpegEncoderSession:
             segments[-1] = tail[0]
         return self._assemble(segments)
 
-    @functools.cached_property
-    def _device_e2e_enc_jit(self):
+    @functools.lru_cache(maxsize=4)
+    def _device_e2e_enc_jit(self, max_seg_bytes: int):
         from ..entropy import tpu_encode
 
         B = self.blocks_per_segment
@@ -461,7 +467,6 @@ class JpegEncoderSession:
         prev_same_dev = jnp.asarray(prev_same)
         dcb, dcl, acb, acl = tpu_encode.device_encoder_tables(self.tables)
         dcb, dcl, acb, acl = map(jnp.asarray, (dcb, dcl, acb, acl))
-        max_seg_bytes = B * 64 * 4 + 64
         use_pallas = self.impl == "pallas" or (
             self.impl == "auto" and datapath._on_tpu())
 
@@ -481,11 +486,11 @@ class JpegEncoderSession:
                     [qc, jnp.zeros((pad_blocks, 64), jnp.int32)])
             else:
                 qc_padded = qc
-            out, lens = tpu_encode.encode_segments_device(
+            out, lens, overflow = tpu_encode.encode_segments_device(
                 qc_padded, comp_dev, prev_same_dev, dcb, dcl, acb, acl,
                 blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
             tail_q = qc[n_blocks - tail_count:]
-            return out, lens, tail_q
+            return out, lens, tail_q, overflow
 
         return run
 
@@ -496,7 +501,14 @@ class JpegEncoderSession:
         stacked = [jnp.asarray(np.stack([p[i] for p in planes]))
                    for i in range(len(self.scans))]
         F = len(frames)
-        out, lens, tails = self._device_e2e_enc_batch_jit(F)(*stacked)
+        B = self.blocks_per_segment
+        for msb in (B * 128 + 64, B * 512 + 64):
+            out, lens, tails, overflow = self._device_e2e_enc_batch_jit(
+                F, msb)(*stacked)
+            if not bool(overflow):
+                break
+        else:
+            raise ValueError("device entropy encode overflow")
         out = np.asarray(out)
         lens = np.asarray(lens)
         tails = np.asarray(tails)
@@ -516,7 +528,7 @@ class JpegEncoderSession:
         return results
 
     @functools.lru_cache(maxsize=4)
-    def _device_e2e_enc_batch_jit(self, F: int):
+    def _device_e2e_enc_batch_jit(self, F: int, max_seg_bytes: int):
         from ..entropy import tpu_encode
 
         B = self.blocks_per_segment
@@ -539,7 +551,6 @@ class JpegEncoderSession:
         prev_same_dev = jnp.asarray(prev_same)
         dcb, dcl, acb, acl = tpu_encode.device_encoder_tables(self.tables)
         dcb, dcl, acb, acl = map(jnp.asarray, (dcb, dcl, acb, acl))
-        max_seg_bytes = B * 64 * 4 + 64
         use_pallas = self.impl == "pallas" or (
             self.impl == "auto" and datapath._on_tpu())
 
@@ -565,12 +576,12 @@ class JpegEncoderSession:
                     [qc, jnp.zeros((F, pad_blocks, 64), jnp.int32)], axis=1)
             else:
                 qc_padded = qc
-            out, lens = tpu_encode.encode_segments_device(
+            out, lens, overflow = tpu_encode.encode_segments_device(
                 qc_padded.reshape(-1, 64), comp_dev, prev_same_dev,
                 dcb, dcl, acb, acl,
                 blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
             tails = qc[:, n_blocks - tail_count:, :]
-            return out, lens, tails
+            return out, lens, tails, overflow
 
         return run
 
