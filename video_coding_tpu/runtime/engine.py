@@ -390,8 +390,13 @@ class JpegEncoderSession:
                 blocks = _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
                 pixels = pixels.at[dest].set(blocks[take])
             if use_pallas:
-                return datapath.encode_datapath_pallas(pixels, quant)
-            return datapath.encode_datapath_jnp(pixels, quant)
+                qc = datapath.encode_datapath_pallas(pixels, quant)
+            else:
+                qc = datapath.encode_datapath_jnp(pixels, quant)
+            # quantized coefficients are bounded by ±1024 (x4-scaled fDCT
+            # of ±128 inputs divided by 4·quant, quant ≥ 1) — int16 halves
+            # the device→host transfer
+            return qc.astype(jnp.int16)
 
         return run
 
@@ -639,7 +644,7 @@ class JpegEncoderSession:
                 qc = datapath.encode_datapath_pallas(pixels, qrep)
             else:
                 qc = datapath.encode_datapath_jnp(pixels, qrep)
-            return qc.reshape(f, n_blocks, 64)
+            return qc.reshape(f, n_blocks, 64).astype(jnp.int16)
 
         return run
 
