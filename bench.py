@@ -76,9 +76,12 @@ def main() -> int:
             return cpu_fallback()
 
     import jax
+    # per-platform cache dir: CPU AOT artifacts are machine-feature
+    # sensitive and must not mix with the remote-compiled TPU entries
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                                   ".jax_cache" if platform == "tpu"
+                                   else ".jax_cache_cpu"))
 
     from video_coding_tpu.common.frame import ChromaSubsampling, Frame
     from video_coding_tpu.common.plane import Plane
