@@ -1,0 +1,103 @@
+"""Motion-JPEG stream utilities.
+
+An MJPEG stream here is the standard concatenation of complete JPEG
+images (SOI…EOI). These helpers split/join streams and drive the batched
+engine sessions over them — the frame-parallel workload of
+BASELINE.json configs 4-5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.bitstream import BitReader
+from ..common.frame import Frame
+from ..model import marker_codes
+from ..model.decoder import Header
+
+
+def _frame_end(data: bytes, soi: int) -> int:
+    """End offset (past EOI) of the JPEG frame starting at ``soi``.
+
+    Header segments are skipped via their length fields (so payload bytes
+    can't fake an EOI); the entropy-coded scan is walked honoring stuffing
+    and RSTn."""
+    bits = BitReader(data[soi:])
+    Header.decode(bits)  # consumes everything through the SOS header
+    pos = soi + (bits.bit_pos >> 3)
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m == 0x00 or marker_codes.is_rst(m):
+            pos += 2
+        elif m == 0xFF:
+            pos += 1
+        elif m == marker_codes.EOI:
+            return pos + 2
+        else:
+            return pos  # unexpected marker terminates the frame
+    return n
+
+
+def split_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated-JPEG stream into per-frame byte strings."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        soi = data.find(b"\xff\xd8", pos)
+        if soi < 0:
+            break
+        end = _frame_end(data, soi)
+        frames.append(data[soi:end])
+        pos = end
+    return frames
+
+
+def join_stream(frames: list[bytes]) -> bytes:
+    return b"".join(frames)
+
+
+def decode_stream(data: bytes, session=None) -> list[Frame]:
+    """Decode an MJPEG stream through one cached decoder session (all
+    frames must share headers — the MJPEG steady state)."""
+    from ..runtime.engine import JpegDecoderSession
+
+    frame_bytes = split_stream(data)
+    if not frame_bytes:
+        return []
+    payloads = []
+    header = None
+    for fb in frame_bytes:
+        bits = BitReader(fb)
+        h = Header.decode(bits)
+        if header is None:
+            header = h
+        payloads.append(fb[bits.bit_pos >> 3:])
+    if session is None:
+        session = JpegDecoderSession(header)
+    return session.decode_batch(payloads)
+
+
+def encode_stream(frames: list[Frame], quality: int = 75,
+                  restart_interval: int = 0, session=None) -> bytes:
+    """Encode frames (same geometry) into an MJPEG stream through one
+    cached encoder session."""
+    from ..common.frame import ChromaSubsampling
+    from ..model.encoder import Parameters
+    from ..runtime.engine import JpegEncoderSession
+
+    if not frames:
+        return b""
+    if session is None:
+        f0 = frames[0]
+        maker = {ChromaSubsampling.C420: Parameters.c420,
+                 ChromaSubsampling.C422: Parameters.c422,
+                 ChromaSubsampling.C444: Parameters.c444}[
+            f0.chroma_subsampling]
+        session = JpegEncoderSession(maker(f0.width, f0.height, quality),
+                                     restart_interval)
+    return join_stream(session.encode_batch(frames))
