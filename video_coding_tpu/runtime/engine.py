@@ -16,7 +16,6 @@ work is: entropy bytes in → coefficient tensor → one device call → planes.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -29,7 +28,6 @@ from ..common.plane import Plane
 from ..model import marker_codes
 from ..model.decoder import (DecodeError, Decoder, Header)
 from ..model.encoder import Encoder, Parameters
-from ..model.huffman import Spec
 from ..entropy import scan as entropy_scan
 from ..entropy.tables import pack_decoder_tables, pack_encoder_tables
 from ..ops import datapath

@@ -8,8 +8,6 @@ BASELINE.json configs 4-5.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..common.bitstream import BitReader
 from ..common.frame import Frame
 from ..model import marker_codes

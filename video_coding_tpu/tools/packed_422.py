@@ -7,8 +7,6 @@ yuy2 = (0,1,3), uyvy = (1,0,2), yvyu = (0,3,1).
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..common.plane import Plane
 from .yuv import Yuv
 

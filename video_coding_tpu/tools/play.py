@@ -19,7 +19,6 @@ from ..common.plane import EndOfImage
 from ..common.size import Size
 from .yuv import Yuv
 from .yuv_format import YuvFormat
-from . import planar_444
 
 
 # --------------------------------------------------------------------------
