@@ -96,8 +96,7 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
         val = jnp.where(neg & (cat > 0), code - (1 << cat) + 1, code)
         return jnp.where(cat == 0, 0, val)
 
-    def body(state):
-        it, bitpos, blk, cof, in_ac, dc_pred, coefs = state
+    def step_once(bitpos, blk, cof, in_ac, dc_pred, coefs):
         active = blk < seg_blocks
         comp = comp_sched[jnp.clip(blk, 0, B - 1)]
         w16 = peek(bitpos)
@@ -143,12 +142,22 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
         new_cof = jnp.where(block_done, 0, cof_after)
         # reset DC predictors never happens inside a segment
         bitpos = jnp.where(active, new_bitpos, bitpos)
-        return (it + 1, bitpos, new_blk, new_cof, new_in_ac, new_dc, coefs)
+        return (bitpos, new_blk, new_cof, new_in_ac, new_dc, coefs)
 
-    # every iteration consumes one codeword; a block holds ≤ 64 codewords,
+    # several codewords per loop trip: at small lane counts the loop is
+    # bound by per-iteration dispatch, not element throughput
+    SYMS_PER_ITER = 4
+
+    def body(state):
+        it, *rest = state
+        for _ in range(SYMS_PER_ITER):
+            rest = step_once(*rest)
+        return (it + 1, *rest)
+
+    # every sub-step consumes one codeword; a block holds ≤ 64 codewords,
     # so this bound is only hit by corrupt streams (graceful stop, like the
     # RTL error strobes — codeblock_decoder.ml:19-26)
-    max_iters = B * 65 + 64
+    max_iters = (B * 65 + 64) // SYMS_PER_ITER + 2
 
     def cond(state):
         it, _bitpos, blk, _cof, _in_ac, _dc, _coefs = state

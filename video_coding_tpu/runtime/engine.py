@@ -270,6 +270,36 @@ class JpegDecoderSession:
 
         return run
 
+    def decode_device_rgb(self, entropy_data: bytes):
+        """Raw entropy bytes → (H, W, 3) uint8 RGB tensor, everything on
+        device (entropy, datapath, chroma upsample, color conversion) —
+        the decode-for-training path where frames feed an on-chip model."""
+        from ..common.frame import ChromaSubsampling
+        from ..ops import color
+
+        if len(self.components) != 3:
+            raise DecodeError("RGB output needs a 3-component scan")
+        planes = self.decode_device_e2e(entropy_data)
+        comps = self.components
+        yw, yh = comps[0].actual_width, comps[0].actual_height
+        sh = (comps[0].component.horizontal_sampling_factor
+              // comps[1].component.horizontal_sampling_factor)
+        sv = (comps[0].component.vertical_sampling_factor
+              // comps[1].component.vertical_sampling_factor)
+
+        def chroma(p, comp):
+            p = p[:comp.actual_height, :comp.actual_width]
+            if sh == 2 and sv == 2:
+                p = color.upsample_hv2(p)
+            elif sh == 2:
+                p = color.upsample_h2(p)
+            return p[:yh, :yw]  # odd-dimension crop after upsample
+
+        y = planes[0][:yh, :yw]
+        u = chroma(planes[1], comps[1])
+        v = chroma(planes[2], comps[2])
+        return jax.jit(color.yuv444_to_rgb)(y, u, v)
+
     # -- batched (Motion-JPEG) --------------------------------------------
     def decode_batch(self, entropy_list: list[bytes]) -> list[Frame]:
         """Decode many same-geometry frames: host entropy in parallel
