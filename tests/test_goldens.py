@@ -1,0 +1,114 @@
+"""Expect-style golden snapshots (the reference's %expect test culture):
+exact per-block pipeline state of a real stream, and four-component scans.
+"""
+
+import numpy as np
+
+from video_coding_tpu.common.bitstream import BitReader
+from video_coding_tpu.common.plane import Plane
+from video_coding_tpu.model import decoder as mdec
+from video_coding_tpu.model import encoder as menc
+from video_coding_tpu.model.util import (coef_block_to_string,
+                                         pixel_block_to_string)
+
+
+def test_mouse_first_block_pipeline_golden(mouse_jpg):
+    """Snapshot of the first decoded block of Mouse480.jpg — locks down
+    every pipeline stage bit-for-bit (huffman, dequant, IDCT, recon)."""
+    bits = BitReader(mouse_jpg)
+    dec = mdec.Decoder(mdec.Header.decode(bits), bits)
+    comp = next(dec.decode_blocks_seq())
+    assert comp.component.identifier == 1
+    assert comp.dc_pred == 20
+    # zigzag coefficients of block 0 (hex, wrapped to 12 bits)
+    assert coef_block_to_string(comp.coefs).splitlines()[0] == \
+        "014 001 ffe fff 001 000 000 000"
+    # reconstructed pixels of block 0
+    recon_rows = pixel_block_to_string(comp.recon).splitlines()
+    assert recon_rows[0] == "e0 de db d6 d1 cd ca c8"
+    assert recon_rows[7] == "e6 e7 e7 e8 e9 ea eb eb"
+
+
+def test_mouse_header_golden(mouse_jpg):
+    bits = BitReader(mouse_jpg)
+    h = mdec.Header.decode(bits)
+    assert (h.frame.width, h.frame.height) == (480, 320)
+    assert [c.identifier for c in h.frame.components] == [1, 2, 3]
+    assert [(c.horizontal_sampling_factor, c.vertical_sampling_factor)
+            for c in h.frame.components] == [(2, 2), (1, 1), (1, 1)]
+    assert len(h.quant_tables) == 2
+    assert len(h.huffman_tables) == 4
+    assert h.scan.number_of_image_components == 3
+
+
+def test_four_component_scan_roundtrip():
+    """The reference hardware caps at 4 components (scan_controller.ml:16);
+    the model/engine handle a CMYK-style 4-component interleaved scan."""
+    from video_coding_tpu.model.encoder import (Encoder, Identified,
+                                                Parameters,
+                                                ScanComponentParams)
+    from video_coding_tpu.model.huffman import (AC_CHROMA, AC_LUMA,
+                                                DC_CHROMA, DC_LUMA)
+    from video_coding_tpu.model import quant_tables
+
+    rng = np.random.default_rng(0)
+    qt = quant_tables.scale(quant_tables.LUMA, 80)
+    params = Parameters(
+        width=32, height=32,
+        quant_tables=(Identified(0, qt),),
+        dc_huffman_tables=(Identified(0, DC_LUMA), Identified(1, DC_CHROMA)),
+        ac_huffman_tables=(Identified(0, AC_LUMA), Identified(1, AC_CHROMA)),
+        scan_components=tuple(
+            ScanComponentParams(0, i % 2, i % 2, i + 1, 1, 1)
+            for i in range(4)),
+    )
+    enc = Encoder(params)
+    planes = []
+    for s in enc.scans:
+        data = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        s.plane.data[...] = data
+        planes.append(data)
+    enc.write_headers()
+    enc.encode()
+    enc.complete_and_write_eoi()
+    stream = enc.writer.get_buffer()
+
+    bits = BitReader(stream)
+    dec = mdec.Decoder(mdec.Header.decode(bits), bits)
+    dec.decode()
+    outs = dec.get_planes()
+    assert len(outs) == 4
+    for src, out in zip(planes, outs):
+        d = np.abs(src.astype(int) - out.data.astype(int))
+        assert d.mean() < 20  # lossy but sane at q=80 on noise
+
+
+def test_engine_decodes_foreign_single_segment_streams(mouse_jpg):
+    """Foreign camera JPEG (no DRI) through every engine decode path."""
+    from video_coding_tpu.runtime import engine
+
+    bits = BitReader(mouse_jpg)
+    header = mdec.Header.decode(bits)
+    payload = mouse_jpg[bits.bit_pos >> 3:]
+    ref = mdec.decode_a_frame(mouse_jpg)
+
+    sess = engine.JpegDecoderSession(header)
+    for method in ("decode", "decode_device"):
+        out = getattr(sess, method)(payload)
+        for p in "yuv":
+            assert (getattr(out, p).data == getattr(ref, p).data).all(), method
+
+    tpu_entropy = engine.JpegDecoderSession(header, entropy="tpu")
+    out = tpu_entropy.decode(payload)
+    for p in "yuv":
+        assert (getattr(out, p).data == getattr(ref, p).data).all()
+
+
+def test_mini_jpg_through_engine():
+    data = open("/root/reference/jpeg/test_data/mini.jpg", "rb").read()
+    from video_coding_tpu.runtime import engine
+
+    ref = mdec.decode_a_frame(data)
+    out = engine.decode_jpeg(data)
+    for p in "yuv":
+        assert (getattr(out, p).data == getattr(ref, p).data).all()

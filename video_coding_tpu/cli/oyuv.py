@@ -71,6 +71,19 @@ def cmd_play(args) -> int:
         transform = lambda y: oplay.isolate_plane(y, args.isolate)
     elif args.grid:
         transform = oplay.grid_overlay
+    elif args.diff:
+        # diff vs a reference file (oplay.ml ±diff visualization)
+        ref_file = open(args.diff, "rb")
+        ref_iter = oplay.iter_frames(ref_file, size, fmt)
+
+        def transform(yuv):
+            try:
+                ref = next(ref_iter)
+            except StopIteration:
+                return yuv
+            if args.diff_exact:
+                return oplay.highlight_exact_diff(yuv, ref)
+            return oplay.diff_frames(yuv, ref, scale=args.diff_scale)
     try:
         if args.out_dir:
             raise RuntimeError("headless requested")
@@ -121,6 +134,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="headless: write PNG frames here")
     pl.add_argument("--isolate", choices=["y", "u", "v"], default=None)
     pl.add_argument("--grid", action="store_true")
+    pl.add_argument("--diff", default=None,
+                    help="visualize signed difference vs this YUV file")
+    pl.add_argument("--diff-scale", type=int, default=1)
+    pl.add_argument("--diff-exact", action="store_true",
+                    help="highlight exact differing samples instead")
     pl.set_defaults(fn=cmd_play)
     return p
 
