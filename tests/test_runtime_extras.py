@@ -112,3 +112,22 @@ def test_dct_tool_search():
                 "--count", "20")
     assert r.returncode == 0, r.stderr
     assert len(r.stdout.strip().splitlines()) == 5  # header + 4 rows
+
+
+def test_transcode_session_matches_model_roundtrip(mini64_frames):
+    """JPEG->JPEG transcode with device-resident pixels must equal the
+    model's decode-then-encode byte-for-byte."""
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.model import decoder as mdec_mod
+    from video_coding_tpu.model import encoder as menc_mod
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    stream = menc_mod.encode_420(src, 90, restart_interval=2)
+    bits = BitReader(stream)
+    header = mdec_mod.Header.decode(bits)
+    t = engine.JpegTranscodeSession(header, quality=60, restart_interval=3)
+    out = t.transcode(stream[bits.bit_pos >> 3:])
+    ref = menc_mod.encode_420(mdec_mod.decode_a_frame(stream), 60,
+                              restart_interval=3)
+    assert out == ref

@@ -703,6 +703,75 @@ class JpegEncoderSession:
         return self._assemble(segments)
 
 
+class JpegTranscodeSession:
+    """JPEG → JPEG transcode (re-quantize / re-segment) with pixels never
+    leaving the device: fused decode (entropy + datapath) chains straight
+    into the fused encode (datapath + entropy) through device-resident
+    planes. Host traffic per frame = two compressed bitstreams.
+
+    The production shape of the 'decode+encode per chip' metric: e.g.
+    re-encoding a Motion-JPEG stream at a different quality or adding
+    restart segmentation for parallel decode."""
+
+    def __init__(self, header: Header, quality: int = 75,
+                 restart_interval: int = 0, impl: str = "auto"):
+        self.decoder = JpegDecoderSession(header, impl=impl)
+        frame_hdr = header.frame
+        n = len(frame_hdr.components)
+        if n == 3:
+            hs = [c.horizontal_sampling_factor for c in frame_hdr.components]
+            vs = [c.vertical_sampling_factor for c in frame_hdr.components]
+            if hs == [2, 1, 1] and vs == [2, 1, 1]:
+                maker = Parameters.c420
+            elif hs == [2, 1, 1] and vs == [1, 1, 1]:
+                maker = Parameters.c422
+            else:
+                maker = Parameters.c444
+            params = maker(frame_hdr.width, frame_hdr.height, quality)
+        else:
+            raise DecodeError("transcode supports 3-component scans")
+        self.encoder = JpegEncoderSession(params, restart_interval,
+                                          impl=impl)
+        for comp, scan in zip(self.decoder.components, self.encoder.scans):
+            if (comp.decoded_height, comp.decoded_width) != \
+                    (scan.plane.height, scan.plane.width):
+                raise DecodeError("transcode geometry mismatch")
+        # zero the padding region so output bytes are identical to a
+        # host-roundtrip re-encode (load_planes pads with zeros)
+        self._pad_masks = [
+            (comp.actual_height, comp.actual_width)
+            for comp in self.decoder.components]
+
+    def transcode(self, entropy_data: bytes) -> bytes:
+        planes = self.decoder.decode_device_e2e(entropy_data)
+        cleaned = []
+        for p, (ah, aw) in zip(planes, self._pad_masks):
+            if (ah, aw) != p.shape:
+                p = p.at[ah:, :].set(0)
+                p = p.at[:, aw:].set(0)
+            cleaned.append(p)
+        enc = self.encoder
+        B = enc.blocks_per_segment
+        for msb in (B * 128 + 64, B * 512 + 64):
+            out, lens, tail_q, overflow = enc._device_e2e_enc_jit(msb)(
+                *cleaned)
+            if not bool(overflow):
+                break
+        else:
+            raise ValueError("device entropy encode overflow")
+        out = np.asarray(out)
+        lens = np.asarray(lens)
+        n_segments = out.shape[0]
+        segments = [out[s, :lens[s]].tobytes() for s in range(n_segments)]
+        if enc.n_blocks % B:
+            first = (n_segments - 1) * B
+            tail = entropy_scan.encode_scan(
+                np.asarray(tail_q), enc.comp_idx[first:],
+                enc.n_blocks - first, enc.tables)
+            segments[-1] = tail[0]
+        return enc._assemble(segments)
+
+
 def encode_jpeg(frame: Frame, quality: int = 75,
                 subsampling: ChromaSubsampling = ChromaSubsampling.C420,
                 restart_interval: int = 0, impl: str = "auto") -> bytes:
