@@ -91,6 +91,7 @@ int64_t decode_segment(const uint8_t* data, int64_t data_len,
     if (len == 0) return -(blk + 1);
     br.consume(len);
     int cat = e & 0xffff;
+    if (cat > 15) return -(blk + 1);  // malformed LUT entry
     int32_t diff = magnitude(cat, br.get(cat));
     dc_pred[c] += diff;
     coefs[0] = dc_pred[c];
@@ -186,6 +187,7 @@ int64_t encode_segment(const int32_t* qcoefs, const int32_t* comp_idx,
     int32_t diff = dc - dc_pred[c];
     dc_pred[c] = dc;
     int size = size_category(diff);
+    if (size > 11) return -1;  // outside baseline 12-bit coefficient range
     if (!w.put(t.dc_bits[size], t.dc_len[size])) return -1;
     if (!w.put(magnitude_bits(size, diff), size)) return -1;
     // ACs: run-length + ZRL splitting + EOB (encoder.ml:163-193)
@@ -206,6 +208,7 @@ int64_t encode_segment(const int32_t* qcoefs, const int32_t* comp_idx,
         run -= 16;
       }
       int s = size_category(v);
+      if (s > 10) return -1;  // outside baseline AC magnitude range
       int idx = run * 11 + s;
       if (!w.put(t.ac_bits[idx], t.ac_len[idx])) return -1;
       if (!w.put(magnitude_bits(s, v), s)) return -1;

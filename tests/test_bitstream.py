@@ -67,10 +67,13 @@ def test_reader_show_does_not_advance():
 
 def test_reader_reads_zero_past_end():
     r = BitReader(b"\xff\xff\xff\x00")
-    r.advance(24)
-    # Reads into the final byte and (virtually) beyond return zeros.
-    assert r.get(8) == 0
-    assert r.get(4) == 0  # past end entirely
+    r.advance(20)
+    # A read that *starts* inside the buffer zero-fills past the end…
+    assert r.get(12) == 0xF00
+    # …but once the cursor itself is past the end, reads raise (stricter
+    # than the reference, which loops forever on truncated headers).
+    with pytest.raises(ValueError):
+        r.get(4)
 
 
 def test_reader_out_of_bounds_raises():

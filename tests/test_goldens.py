@@ -112,3 +112,92 @@ def test_mini_jpg_through_engine():
     out = engine.decode_jpeg(data)
     for p in "yuv":
         assert (getattr(out, p).data == getattr(ref, p).data).all()
+
+
+def test_truncated_header_raises_not_hangs():
+    """A truncated JPEG header must raise promptly (the reference's
+    marker-scan loop reads zero-fill forever)."""
+    import pytest
+
+    with pytest.raises(mdec.DecodeError):
+        mdec.decode_a_frame(b"\xff\xd8\xff\xe0")
+    with pytest.raises(mdec.DecodeError):
+        mdec.decode_a_frame(b"\xff\xd8\xff\xc0\x00\x05\x08")
+
+
+def test_width_17_mod_16_geometry():
+    """Width/height ≡ 1 mod 16 used to under-size the chroma grid (the
+    reference's 'known bug on the last block(s)', jpeg/README.md:22)."""
+    from video_coding_tpu.common.frame import ChromaSubsampling, Frame
+    from video_coding_tpu.runtime import engine
+
+    rng = np.random.default_rng(3)
+    for w, h in ((17, 16), (16, 17), (33, 33)):
+        f = Frame.create(ChromaSubsampling.C420, w, h)
+        f.y.data[...] = rng.integers(0, 256, f.y.data.shape, dtype=np.uint8)
+        f.u.data[...] = 128
+        f.v.data[...] = 128
+        data = menc.encode_420(f, 85)
+        assert engine.encode_jpeg(f, 85) == data
+        dec = mdec.decode_a_frame(data)
+        assert (dec.width, dec.height) == (w, h)
+        eng = engine.decode_jpeg(data)
+        for p in "yuv":
+            assert (getattr(eng, p).data == getattr(dec, p).data).all()
+
+
+def test_multi_table_dqt_dht_segments(mouse_jpg):
+    """One DQT/DHT marker segment carrying several tables (T.81 B.2.4.x,
+    common in ffmpeg output) must parse fully."""
+    from video_coding_tpu.common.bitstream import BitWriter
+    from video_coding_tpu.model import markers, quant_tables
+    from video_coding_tpu.model.huffman import AC_LUMA, DC_LUMA
+
+    w = BitWriter()
+    # two quant tables in one segment
+    qt0 = list(quant_tables.scale(quant_tables.LUMA, 75))
+    qt1 = list(quant_tables.scale(quant_tables.CHROMA, 75))
+    w.put_bits(2 + 2 * 65, 16, stuffing=False)
+    for ident, qt in ((0, qt0), (1, qt1)):
+        w.put_bits(0, 4, stuffing=False)
+        w.put_bits(ident, 4, stuffing=False)
+        for e in qt:
+            w.put_bits(int(e), 8, stuffing=False)
+    from video_coding_tpu.common.bitstream import BitReader as BR
+    tables = markers.Dqt.decode_segment(BR(w.get_buffer()))
+    assert len(tables) == 2
+    assert tables[0].elements == [int(x) for x in qt0]
+    assert tables[1].table_identifier == 1
+
+    # two huffman tables in one segment
+    w2 = BitWriter()
+    payload_len = sum(1 + 16 + sum(s.lengths) for s in (DC_LUMA, AC_LUMA))
+    w2.put_bits(2 + payload_len, 16, stuffing=False)
+    for cls_id, spec in ((0, DC_LUMA), (1, AC_LUMA)):
+        w2.put_bits(cls_id, 4, stuffing=False)
+        w2.put_bits(0, 4, stuffing=False)
+        for v in spec.lengths:
+            w2.put_bits(v, 8, stuffing=False)
+        for v in spec.values:
+            w2.put_bits(v, 8, stuffing=False)
+    huffs = markers.Dht.decode_segment(BR(w2.get_buffer()))
+    assert len(huffs) == 2
+    assert huffs[0].table_class == 0 and huffs[1].table_class == 1
+    assert tuple(huffs[1].values) == AC_LUMA.values
+
+
+def test_missing_restart_segments_raise():
+    """Truncated restart streams must raise, not render black blocks."""
+    import pytest
+    from video_coding_tpu.entropy import decode_scan
+    from video_coding_tpu.entropy.tables import pack_decoder_tables
+    from video_coding_tpu.model.huffman import AC_LUMA, DC_LUMA, Lut
+
+    tables = pack_decoder_tables(
+        [Lut(DC_LUMA.dc_code_table(), ac=False)],
+        [Lut(AC_LUMA.ac_code_table(), ac=True)])
+    comp_idx = np.zeros(8, dtype=np.int32)
+    for use_native in (True, False):
+        with pytest.raises(ValueError):
+            decode_scan([b"\x00" * 4] * 2, comp_idx, 2, tables,
+                        use_native=use_native)

@@ -30,10 +30,15 @@ class BitReader:
         return 0
 
     def show(self, n: int) -> int:
-        """Peek the next n (≤16 in practice) bits without advancing."""
-        if n >= self.length_in_bits:
-            # Mirrors the reference's out-of-bounds guard
-            # (bitstream_reader.ml:32).
+        """Peek the next n (≤16 in practice) bits without advancing.
+
+        Reads that *start* inside the buffer zero-fill past the end (the
+        reference decoder relies on this — bitstream_reader.ml:19-22);
+        once the cursor itself is past the end, raise. The reference
+        instead zero-fills forever (its width-only guard at
+        bitstream_reader.ml:32), which turns truncated headers into an
+        infinite marker-scan loop — raising is the strict improvement."""
+        if n >= self.length_in_bits or self.bit_pos >= self.length_in_bits:
             raise ValueError("BitReader out of bounds")
         if n == 0:
             return 0

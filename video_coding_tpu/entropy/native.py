@@ -30,14 +30,23 @@ def _try_build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = os.path.join(_NATIVE_DIR, "entropy.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return True
+
+
 def load():
-    """Load the shared library, building it on first use. Returns the
-    ctypes lib or None."""
+    """Load the shared library, (re)building when missing or older than
+    its source. Returns the ctypes lib or None."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH) and not _try_build():
-        return None
+    if (not os.path.exists(_SO_PATH) or _stale()) and not _try_build():
+        if not os.path.exists(_SO_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:

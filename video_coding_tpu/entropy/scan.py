@@ -67,6 +67,11 @@ def decode_scan(segments: list[bytes], comp_idx: np.ndarray,
     """Huffman-decode a whole scan. Returns (n_blocks, 64) int32 zigzag
     coefficients with DC predictors resolved per segment."""
     n_blocks = len(comp_idx)
+    expected = (n_blocks + blocks_per_segment - 1) // blocks_per_segment
+    if len(segments) != expected:
+        raise ValueError(
+            f"expected {expected} restart segments for {n_blocks} blocks "
+            f"(interval {blocks_per_segment}), got {len(segments)}")
     comp_idx = np.ascontiguousarray(comp_idx, dtype=np.int32)
     coefs = np.zeros((n_blocks, 64), dtype=np.int32)
     lib = native.load() if use_native in (None, True) else None
@@ -136,24 +141,31 @@ def encode_scan(qcoefs: np.ndarray, comp_idx: np.ndarray,
     buffer per restart segment (caller joins with RSTn markers)."""
     n_blocks = len(comp_idx)
     qcoefs = np.ascontiguousarray(qcoefs, dtype=np.int32)
+    if np.abs(qcoefs).max(initial=0) > 2047:
+        # the Huffman magnitude range is 11 bits (DC diff ≤ cat 11, AC ≤
+        # cat 10); larger values would index past the code tables
+        raise ValueError("quantized coefficients exceed the 12-bit "
+                         "baseline-JPEG range")
     comp_idx = np.ascontiguousarray(comp_idx, dtype=np.int32)
     n_segments = (n_blocks + blocks_per_segment - 1) // blocks_per_segment
     lib = native.load() if use_native in (None, True) else None
     if lib is not None:
-        # worst case ≈ 30 bits/coef incl. stuffing; pad generously
-        seg_stride = blocks_per_segment * 64 * 4 + 256
-        out = np.empty(n_segments * seg_stride, dtype=np.uint8)
-        seg_lens = np.zeros(n_segments, dtype=np.int64)
-        rc = lib.vct_encode_blocks(
-            qcoefs.reshape(-1), comp_idx, n_blocks, blocks_per_segment,
-            n_segments, len(tables.dc_bits) // 12,
-            tables.dc_bits, tables.dc_len, tables.ac_bits, tables.ac_len,
-            out, seg_stride, seg_lens,
-            n_threads if n_threads is not None else _default_threads())
-        if rc != 0:
-            raise ValueError("entropy encode failed (buffer overflow?)")
-        return [out[s * seg_stride:s * seg_stride + seg_lens[s]].tobytes()
-                for s in range(n_segments)]
+        # typical streams fit the lean buffer; escalate to the absolute
+        # worst case (≤209 raw bytes/block, ≤2x after stuffing) on demand
+        for per_block in (260, 64 * 8):
+            seg_stride = blocks_per_segment * per_block + 256
+            out = np.empty(n_segments * seg_stride, dtype=np.uint8)
+            seg_lens = np.zeros(n_segments, dtype=np.int64)
+            rc = lib.vct_encode_blocks(
+                qcoefs.reshape(-1), comp_idx, n_blocks, blocks_per_segment,
+                n_segments, len(tables.dc_bits) // 12,
+                tables.dc_bits, tables.dc_len, tables.ac_bits, tables.ac_len,
+                out, seg_stride, seg_lens,
+                n_threads if n_threads is not None else _default_threads())
+            if rc == 0:
+                return [out[s * seg_stride:s * seg_stride + seg_lens[s]]
+                        .tobytes() for s in range(n_segments)]
+        raise ValueError("entropy encode failed")
     # python fallback
     ncomp = len(tables.dc_bits) // 12
     result = []

@@ -36,12 +36,27 @@ SLOTS_PER_BLOCK = 65
 
 
 def device_encoder_tables(tables: EncoderTables):
-    """Reshape packed encoder tables for device lookup."""
+    """Reshape packed encoder tables for device lookup.
+
+    Validates the device packer's structural assumptions (they hold for
+    every standard table, incl. all Annex-K defaults): composite symbols
+    (≤3 ZRL + code + ≤10 magnitude bits) must fit the 59-bit uint32 pair,
+    and every code must be ≥2 bits so at most OVERLAP symbols share an
+    output byte. Custom tables violating this must use the host coder."""
     c = len(tables.dc_bits) // 12
     dc_bits = tables.dc_bits.reshape(c, 12).astype(np.int32)
     dc_len = tables.dc_len.reshape(c, 12).astype(np.int32)
     ac_bits = tables.ac_bits.reshape(c, 16, 11).astype(np.int32)
     ac_len = tables.ac_len.reshape(c, 16, 11).astype(np.int32)
+    lens = np.concatenate([dc_len.ravel(), ac_len.ravel()])
+    if lens[lens > 0].min(initial=2) < 2:
+        raise ValueError("device entropy encoder requires codes ≥ 2 bits; "
+                         "use the host coder for this table")
+    worst = 3 * int(ac_len[:, 15, 0].max(initial=0)) \
+        + int(ac_len.max(initial=0)) + 10
+    if worst > 59:
+        raise ValueError("device entropy encoder composite symbol would "
+                         "exceed 59 bits; use the host coder")
     return dc_bits, dc_len, ac_bits, ac_len
 
 

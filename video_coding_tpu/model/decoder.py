@@ -50,7 +50,14 @@ class Header:
     @classmethod
     def decode(cls, bits: BitReader) -> "Header":
         """Marker scan loop: find 0xFF, dispatch, stop at SOS
-        (decoder.ml:24-70)."""
+        (decoder.ml:24-70). Truncated input raises DecodeError."""
+        try:
+            return cls._decode(bits)
+        except ValueError as e:
+            raise DecodeError(f"truncated or invalid header: {e}") from e
+
+    @classmethod
+    def _decode(cls, bits: BitReader) -> "Header":
         t = cls()
         while True:
             bits.align_to_byte()
@@ -63,9 +70,9 @@ class Header:
                 t.scan = markers.Sos.decode(bits)
                 return t
             elif code == marker_codes.DQT:
-                t.quant_tables.append(markers.Dqt.decode(bits))
+                t.quant_tables.extend(markers.Dqt.decode_segment(bits))
             elif code == marker_codes.DHT:
-                t.huffman_tables.append(markers.Dht.decode(bits))
+                t.huffman_tables.extend(markers.Dht.decode_segment(bits))
             elif code == marker_codes.DRI:
                 t.restart_interval = markers.Dri.decode(bits)
             elif code == marker_codes.SOI:
@@ -227,7 +234,11 @@ class Decoder:
 
     def block_schedule(self) -> list[tuple[int, int, int]]:
         """Flat (component_index, x, y) schedule in scan order — the MCU
-        iteration of decoder.ml:374-395."""
+        iteration of decoder.ml:374-395. Memoized (several pipeline stages
+        walk it per frame)."""
+        cached = getattr(self, "_schedule", None)
+        if cached is not None:
+            return cached
         sched = []
         for mcu_y in range(self.macroblocks_high):
             for mcu_x in range(self.macroblocks_wide):
@@ -239,6 +250,7 @@ class Decoder:
                             sched.append((ci,
                                           (mcu_x * hs + h) * 8,
                                           (mcu_y * vs + v) * 8))
+        self._schedule = sched
         return sched
 
     # -- entropy ----------------------------------------------------------

@@ -165,12 +165,18 @@ class Encoder:
                     for sc in params.scan_components)
         max_v = max(sc.vertical_sampling_factor
                     for sc in params.scan_components)
+        # Round the luma (MCU) grid first, then scale per component — the
+        # same geometry the decoder derives (decoder.ml:304-320). Rounding
+        # each component's unrounded dims independently (the reference's
+        # encoder.ml:452-459) under-sizes chroma by one block when a luma
+        # dimension is ≡1..7 mod (8·max_scale) — the reference's "known
+        # bug on the last block(s)" (jpeg/README.md:22).
+        rounded_w = _round_up(params.width, 8 * max_h)
+        rounded_h = _round_up(params.height, 8 * max_v)
         self.scans: list[Scan] = []
         for sc in params.scan_components:
-            w = params.width * sc.horizontal_sampling_factor // max_h
-            h = params.height * sc.vertical_sampling_factor // max_v
-            w = _round_up(w, 8 * sc.horizontal_sampling_factor)
-            h = _round_up(h, 8 * sc.vertical_sampling_factor)
+            w = rounded_w * sc.horizontal_sampling_factor // max_h
+            h = rounded_h * sc.vertical_sampling_factor // max_v
             self.scans.append(Scan(
                 hscale=sc.horizontal_sampling_factor,
                 vscale=sc.vertical_sampling_factor,
@@ -198,7 +204,10 @@ class Encoder:
 
     def block_schedule(self) -> list[tuple[int, int, int]]:
         """Flat (scan_index, x, y) schedule in scan order
-        (encoder.ml:476-505)."""
+        (encoder.ml:476-505). Memoized."""
+        cached = getattr(self, "_schedule", None)
+        if cached is not None:
+            return cached
         sched = []
         for y_mb in range(self.macroblocks_high):
             for x_mb in range(self.macroblocks_wide):
@@ -208,6 +217,7 @@ class Encoder:
                             sched.append((si,
                                           (x_mb * s.hscale + x_sub) * 8,
                                           (y_mb * s.vscale + y_sub) * 8))
+        self._schedule = sched
         return sched
 
     # -- input ------------------------------------------------------------

@@ -145,6 +145,22 @@ class Dqt:
         elements = [bits.get(element_precision) for _ in range(64)]
         return cls(length, element_precision, table_identifier, elements)
 
+    @classmethod
+    def decode_segment(cls, bits: BitReader) -> list["Dqt"]:
+        """Parse every table in one DQT segment — a single marker segment
+        may legally carry multiple tables (T.81 B.2.4.1; ffmpeg emits
+        these)."""
+        start = bits.bit_pos
+        length = bits.get(16)
+        out = []
+        while bits.bit_pos - start < length * 8:
+            element_precision = 8 << bits.get(4)
+            table_identifier = bits.get(4)
+            elements = [bits.get(element_precision) for _ in range(64)]
+            out.append(cls(length, element_precision, table_identifier,
+                           elements))
+        return out
+
     def encode(self, w: BitWriter) -> None:
         element_bytes = self.element_precision // 8
         length = 3 + 64 * element_bytes
@@ -191,6 +207,22 @@ class Dht:
         lengths = [bits.get(8) for _ in range(16)]
         values = [bits.get(8) for _ in range(sum(lengths))]
         return cls(length, table_class, destination_identifier, lengths, values)
+
+    @classmethod
+    def decode_segment(cls, bits: BitReader) -> list["Dht"]:
+        """Parse every table in one DHT segment (T.81 B.2.4.2 allows
+        multiple per marker)."""
+        start = bits.bit_pos
+        length = bits.get(16)
+        out = []
+        while bits.bit_pos - start < length * 8:
+            table_class = bits.get(4)
+            destination_identifier = bits.get(4)
+            lengths = [bits.get(8) for _ in range(16)]
+            values = [bits.get(8) for _ in range(sum(lengths))]
+            out.append(cls(length, table_class, destination_identifier,
+                           lengths, values))
+        return out
 
     def encode(self, w: BitWriter) -> None:
         length = 3 + 16 + sum(self.lengths)

@@ -173,8 +173,18 @@ class JpegDecoderSession:
     def decode_device(self, entropy_data: bytes) -> Frame:
         return self._to_frame(self.decode_device_e2e(entropy_data))
 
-    @functools.lru_cache(maxsize=8)
     def _device_e2e_jit(self, L: int):
+        return self._cached_jit(("e2e", L), self._build_device_e2e_jit, L)
+
+    def _cached_jit(self, key, builder, *args):
+        # per-instance cache (a class-level lru_cache would pin sessions
+        # and their device LUTs/graphs alive indefinitely)
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = builder(*args)
+        return cache[key]
+
+    def _build_device_e2e_jit(self, L: int):
         from ..entropy import tpu_decode
 
         B = self.blocks_per_segment
@@ -233,8 +243,11 @@ class JpegDecoderSession:
         planes = fn(jnp.asarray(segbytes), jnp.asarray(seg_blocks))
         return [tuple(p[i] for p in planes) for i in range(F)]
 
-    @functools.lru_cache(maxsize=8)
     def _device_e2e_batch_jit(self, F: int, L: int):
+        return self._cached_jit(("e2e_batch", F, L),
+                                self._build_device_e2e_batch_jit, F, L)
+
+    def _build_device_e2e_batch_jit(self, F: int, L: int):
         from ..entropy import tpu_decode
 
         B = self.blocks_per_segment
@@ -476,8 +489,18 @@ class JpegEncoderSession:
             segments[-1] = tail[0]
         return self._assemble(segments)
 
-    @functools.lru_cache(maxsize=4)
     def _device_e2e_enc_jit(self, max_seg_bytes: int):
+        return self._cached_jit(("enc", max_seg_bytes),
+                                self._build_device_e2e_enc_jit,
+                                max_seg_bytes)
+
+    def _cached_jit(self, key, builder, *args):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = builder(*args)
+        return cache[key]
+
+    def _build_device_e2e_enc_jit(self, max_seg_bytes: int):
         from ..entropy import tpu_encode
 
         B = self.blocks_per_segment
@@ -560,8 +583,12 @@ class JpegEncoderSession:
             results.append(self._assemble(segs))
         return results
 
-    @functools.lru_cache(maxsize=4)
     def _device_e2e_enc_batch_jit(self, F: int, max_seg_bytes: int):
+        return self._cached_jit(("enc_batch", F, max_seg_bytes),
+                                self._build_device_e2e_enc_batch_jit,
+                                F, max_seg_bytes)
+
+    def _build_device_e2e_enc_batch_jit(self, F: int, max_seg_bytes: int):
         from ..entropy import tpu_encode
 
         B = self.blocks_per_segment

@@ -20,8 +20,13 @@ def _frame_end(data: bytes, soi: int) -> int:
     Header segments are skipped via their length fields (so payload bytes
     can't fake an EOI); the entropy-coded scan is walked honoring stuffing
     and RSTn."""
+    from ..model.decoder import DecodeError
+
     bits = BitReader(data[soi:])
-    Header.decode(bits)  # consumes everything through the SOS header
+    try:
+        Header.decode(bits)  # consumes everything through the SOS header
+    except DecodeError:
+        return len(data)  # truncated/garbage trailer: consume the rest
     pos = soi + (bits.bit_pos >> 3)
     n = len(data)
     while pos + 1 < n:
