@@ -151,3 +151,24 @@ def test_oyuv_play_headless(tmp_path, mini64_frames):
                 "--out-dir", str(out))
     assert r.returncode == 0, r.stderr
     assert sorted(os.listdir(out)) == ["frame_00000.png", "frame_00001.png"]
+
+
+def test_simulate_cli_decoder(tmp_path):
+    r = run_cli("video_coding_tpu.cli.simulate_cli", "decoder",
+                "/root/reference/jpeg/test_data/mini.jpg",
+                "--yuv", str(tmp_path / "out.yuv"))
+    assert r.returncode == 0, r.stderr
+    assert "PASS" in r.stdout
+    assert (tmp_path / "out.yuv").exists()
+
+
+def test_simulate_cli_encoder_accelerator(tmp_path, mini64_frames):
+    src = mini64_frames[ChromaSubsampling.C420]
+    raw = tmp_path / "in.yuv"
+    with open(raw, "wb") as f:
+        src.output(f)
+    r = run_cli("video_coding_tpu.cli.simulate_cli", "encoder-accelerator",
+                str(raw), "--size", "64x64", "--quality", "75",
+                "--restart-interval", "2")
+    assert r.returncode == 0, r.stderr
+    assert "byte-identical" in r.stdout

@@ -96,3 +96,14 @@ def test_fixed_point_rounding_tie_away():
     x = np.array([2, -2, 6, -6, 5, -5], dtype=np.int64)
     out = dct._round_tie_away(x, 2)
     assert out.tolist() == [1, -1, 2, -2, 1, -1]
+
+
+def test_four_point_decomposition_matches_matrix_dct():
+    """Using_four_point (dct.ml:357-440): 8-pt from two 4-pt + butterfly
+    equals the direct matrix transform."""
+    rng = np.random.default_rng(5)
+    a = rng.integers(-128, 128, (8, 8)).astype(np.float64)
+    assert np.abs(dct.FourPointDct.forward(a)
+                  - dct.FloatDct.forward(a)).max() < 1e-9
+    assert np.abs(dct.FourPointDct.inverse(dct.FourPointDct.forward(a))
+                  - a).max() < 1e-9

@@ -229,6 +229,69 @@ class FloatDct:
         return m.T @ np.asarray(a, dtype=np.float64) @ m
 
 
+class FourPointDct:
+    """8-point DCT built from two 4-point transforms + butterfly — the
+    even/odd decomposition used for fast hardware (dct.ml
+    Using_four_point:357-440)."""
+
+    @staticmethod
+    def _even_fdct_coefs() -> np.ndarray:
+        m = np.zeros((4, 4))
+        for i in range(4):
+            for j in range(4):
+                if i == 0:
+                    m[i, j] = 0.5 / np.sqrt(2.0)
+                else:
+                    m[i, j] = 0.5 * np.cos((2 * j + 1) * i * 2 * np.pi / 16)
+        return m
+
+    @staticmethod
+    def _odd_fdct_coefs() -> np.ndarray:
+        m = np.zeros((4, 4))
+        for i in range(4):
+            for j in range(4):
+                m[i, j] = 0.5 * np.cos((2 * j + 1) * (2 * i + 1)
+                                       * np.pi / 16)
+        return m
+
+    @classmethod
+    def _fdct_8pt(cls, b: np.ndarray) -> np.ndarray:
+        u = b[:4] + b[7:3:-1]   # b[i] + b[7-i]
+        v = b[:4] - b[7:3:-1]
+        out = np.empty(8)
+        out[0::2] = cls._even_fdct_coefs() @ u
+        out[1::2] = cls._odd_fdct_coefs() @ v
+        return out
+
+    @classmethod
+    def forward(cls, a: np.ndarray) -> np.ndarray:
+        a = np.asarray(a, dtype=np.float64)
+        rows = np.stack([cls._fdct_8pt(r) for r in a])
+        return np.stack([cls._fdct_8pt(c) for c in rows.T]).T
+
+    @classmethod
+    def _idct_8pt(cls, b: np.ndarray) -> np.ndarray:
+        even_coefs = np.zeros((4, 4))
+        for i in range(4):
+            for j in range(4):
+                even_coefs[i, j] = (0.5 / np.sqrt(2.0) if j == 0 else
+                                    0.5 * np.cos((2 * i + 1) * (2 * j)
+                                                 * np.pi / 16))
+        odd_coefs = cls._odd_fdct_coefs().T
+        even = even_coefs @ b[0::2]
+        odd = odd_coefs @ b[1::2]
+        out = np.empty(8)
+        out[:4] = even + odd
+        out[4:] = (even - odd)[::-1]
+        return out
+
+    @classmethod
+    def inverse(cls, a: np.ndarray) -> np.ndarray:
+        a = np.asarray(a, dtype=np.float64)
+        rows = np.stack([cls._idct_8pt(r) for r in a])
+        return np.stack([cls._idct_8pt(c) for c in rows.T]).T
+
+
 # --- fixed point transform (dct.ml:443-482) -------------------------------
 
 def _round_tie_away(x: np.ndarray, fixed_prec: int) -> np.ndarray:
