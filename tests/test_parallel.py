@@ -104,3 +104,41 @@ def test_graft_entry_and_dryrun():
     assert out.shape == (args[0].shape[0], 8, 8)
     for n in (1, 2, 4, 8):
         mod.dryrun_multichip(n)
+
+
+def test_sharded_decode_e2e_with_entropy(mesh, mini64_frames):
+    """Full bytes→pixels decode (Huffman loop included) sharded over the
+    mesh equals the single-device result bit-for-bit."""
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.entropy import destuff_segments, tpu_decode
+    from video_coding_tpu.entropy.tables import pack_decoder_tables
+    from video_coding_tpu.model import decoder as mdec
+    from video_coding_tpu.model import encoder as menc
+    from video_coding_tpu.parallel import sharded_decode_e2e
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    stream = menc.encode_420(src, 75, restart_interval=1)  # 16 segments
+    bits = BitReader(stream)
+    dec = mdec.Decoder(mdec.Header.decode(bits), bits)
+    segments = dec.entropy_segments
+    assert len(segments) == 16  # divisible by the 8-device mesh
+    segbytes, _ = tpu_decode.pack_segments(segments)
+    B = 6  # one 4:2:0 MCU per segment
+    seg_blocks = np.full(16, B, dtype=np.int32)
+    comp_idx = np.array([s[0] for s in dec.block_schedule()], np.int32)
+    tables = pack_decoder_tables([c.dc_tab for c in dec.components],
+                                 [c.ac_tab for c in dec.components])
+    dc_lut, ac_lut = tpu_decode.expand_luts(tables)
+    qtabs = np.stack([c.quant_table for c in dec.components]).astype(np.int32)
+    quant = qtabs[comp_idx[:B]]
+
+    pixels = np.asarray(sharded_decode_e2e(
+        mesh, segbytes, seg_blocks, comp_idx[:B], dc_lut, ac_lut, quant,
+        blocks_per_segment=B))
+    # single-device reference
+    golden_coefs = dec.decode_entropy()
+    from video_coding_tpu.ops import datapath as dp
+    golden = np.asarray(dp.decode_datapath_jnp(
+        golden_coefs, qtabs[comp_idx]))
+    assert np.array_equal(pixels.reshape(-1, 8, 8), golden)

@@ -163,14 +163,18 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
         it, _bitpos, blk, _cof, _in_ac, _dc, _coefs = state
         return jnp.any(blk < seg_blocks) & (it < max_iters)
 
+    # derive the init carry from the inputs so its varying-mesh-axes type
+    # matches the body outputs when this runs inside shard_map
+    zero_lane = seg_blocks * 0
     init = (
         jnp.zeros((), jnp.int32),           # iteration counter
-        jnp.zeros(S, jnp.int32),            # bitpos
-        jnp.zeros(S, jnp.int32),            # block index in segment
-        jnp.zeros(S, jnp.int32),            # coef index
-        jnp.zeros(S, jnp.bool_),            # in AC phase
-        jnp.zeros((S, C), jnp.int32),       # dc predictors
-        jnp.zeros((S, B + 1, 64), jnp.int32),  # +1 slot absorbs drops
+        zero_lane,                          # bitpos
+        zero_lane,                          # block index in segment
+        zero_lane,                          # coef index
+        zero_lane < 0,                      # in AC phase (all False)
+        jnp.zeros((1, C), jnp.int32) + zero_lane[:, None],  # dc predictors
+        (jnp.zeros((1, B + 1, 64), jnp.int32)
+         + zero_lane[:, None, None]),       # coefs (+1 slot absorbs drops)
     )
     final = jax.lax.while_loop(cond, body, init)
     return final[6][:, :B, :]

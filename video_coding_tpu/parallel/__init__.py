@@ -19,6 +19,7 @@ from .mesh import make_mesh, codec_mesh
 from .pipeline import (
     sharded_decode_datapath,
     sharded_encode_datapath,
+    sharded_decode_e2e,
     mjpeg_codec_step,
     distributed_psnr,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "codec_mesh",
     "sharded_decode_datapath",
     "sharded_encode_datapath",
+    "sharded_decode_e2e",
     "mjpeg_codec_step",
     "distributed_psnr",
 ]

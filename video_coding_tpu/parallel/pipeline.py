@@ -91,6 +91,40 @@ def rate_estimate_bits(qcoefs):
     return jnp.sum(size, axis=-1)
 
 
+def sharded_decode_e2e(mesh: Mesh, segbytes, seg_blocks, comp_sched,
+                       dc_lut, ac_lut, quant, blocks_per_segment: int):
+    """Full decode — vectorized Huffman *and* block datapath — with
+    restart segments sharded over every mesh axis.
+
+    segbytes: (S, L) uint8 destuffed segments, S divisible by mesh size;
+    seg_blocks: (S,); comp_sched: (B,); dc/ac_lut: (C, 65536) expanded
+    LUTs (replicated); quant: (B, 64) per-segment-position quant rows
+    (replicated). Returns (S, B, 64→8x8) pixels sharded like the input —
+    the multi-chip analog of the RTL's single entropy pipe."""
+    from ..entropy import tpu_decode
+
+    axes = _flat_axes(mesh)
+    sspec = P(axes, None)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(sspec, P(axes), P(None), P(None, None), P(None, None),
+                  P(None, None)),
+        out_specs=P(axes, None, None, None),
+    )
+    def step(seg_local, blocks_local, sched, dc, ac, q):
+        coefs = tpu_decode.decode_segments_device(
+            seg_local, blocks_local, sched, dc, ac,
+            blocks_per_segment=blocks_per_segment)
+        s = coefs.shape[0]
+        flat = coefs.reshape(s * blocks_per_segment, 64)
+        qrep = jnp.tile(q, (s, 1))
+        pixels = datapath.decode_datapath_jnp(flat, qrep)
+        return pixels.reshape(s, blocks_per_segment, 8, 8)
+
+    return step(segbytes, seg_blocks, comp_sched, dc_lut, ac_lut, quant)
+
+
 def mjpeg_codec_step(mesh: Mesh, frames_pixels, quant):
     """One full codec step over a ('data', 'seg') mesh — the framework's
     'training step' analog, exercising every parallel dimension:
