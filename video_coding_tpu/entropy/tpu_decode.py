@@ -75,20 +75,22 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
     S, L = segbytes.shape
     B = blocks_per_segment
     C = dc_lut.shape[0]
-    seg32 = segbytes.astype(jnp.int32)
     lane = jnp.arange(S)
     # one fused table: rows [0,C) = DC, rows [C,2C) = AC → a single gather
     # per iteration instead of two
     luts = jnp.concatenate([dc_lut, ac_lut], axis=0)
+    # precomputed 32-bit big-endian windows: one gather per peek instead
+    # of three byte gathers (pack_segments provides ≥4 guard bytes)
+    segu = segbytes.astype(jnp.uint32)
+    words = ((segu[:, :-3] << 24) | (segu[:, 1:-2] << 16)
+             | (segu[:, 2:-1] << 8) | segu[:, 3:])
+    LW = L - 3
 
-    def peek(bitpos, nbits_max=PEEK_BITS):
-        byte = jnp.clip(bitpos >> 3, 0, L - 3)
-        sh = bitpos & 7
-        b0 = jnp.take_along_axis(seg32, byte[:, None], axis=1)[:, 0]
-        b1 = jnp.take_along_axis(seg32, byte[:, None] + 1, axis=1)[:, 0]
-        b2 = jnp.take_along_axis(seg32, byte[:, None] + 2, axis=1)[:, 0]
-        w24 = (b0 << 16) | (b1 << 8) | b2
-        return (w24 >> (8 - sh)) & 0xFFFF  # next 16 bits, MSB first
+    def peek(bitpos):
+        byte = jnp.clip(bitpos >> 3, 0, LW - 1)
+        sh = (bitpos & 7).astype(jnp.uint32)
+        w32 = jnp.take_along_axis(words, byte[:, None], axis=1)[:, 0]
+        return ((w32 >> (16 - sh)) & 0xFFFF).astype(jnp.int32)
 
     def magnitude(cat, code):
         # decoder.ml:73-79 sign extension
