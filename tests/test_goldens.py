@@ -201,3 +201,41 @@ def test_missing_restart_segments_raise():
         with pytest.raises(ValueError):
             decode_scan([b"\x00" * 4] * 2, comp_idx, 2, tables,
                         use_native=use_native)
+
+
+def test_16bit_dqt_stream_decodes():
+    """DQT segments with 16-bit element precision (legal for 8-bit samples
+    when values ≤ 255; we accept any) must decode identically."""
+    from video_coding_tpu.common.bitstream import BitWriter
+    from video_coding_tpu.common.frame import ChromaSubsampling, Frame
+    from video_coding_tpu.model import markers
+
+    rng = np.random.default_rng(4)
+    f = Frame.create(ChromaSubsampling.C420, 32, 32)
+    f.y.data[...] = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    f.u.data[...] = 128
+    f.v.data[...] = 128
+    stream = menc.encode_420(f, 75)
+    ref = mdec.decode_a_frame(stream)
+
+    # rewrite each 8-bit DQT as a 16-bit-precision segment, same values
+    out = bytearray()
+    i = 0
+    while i < len(stream):
+        if stream[i] == 0xFF and i + 1 < len(stream) and \
+                stream[i + 1] == 0xDB:
+            seg_len = (stream[i + 2] << 8) | stream[i + 3]
+            bits = BitReader(stream[i + 2:i + 2 + seg_len])
+            dqt = markers.Dqt.decode(bits)
+            w = BitWriter()
+            markers.Dqt(0, 16, dqt.table_identifier, dqt.elements).encode(w)
+            out += b"\xff\xdb" + w.get_buffer()
+            i += 2 + seg_len
+        else:
+            out.append(stream[i])
+            i += 1
+    wide = bytes(out)
+    assert wide != stream
+    got = mdec.decode_a_frame(wide)
+    for p in "yuv":
+        assert (getattr(got, p).data == getattr(ref, p).data).all()
