@@ -73,10 +73,13 @@ struct CompLut {
 };
 
 // Decode one segment's blocks. Returns 0 or negative error (-(block+1)).
+// With check_overrun (resync mode), consuming bits past the segment's real
+// data is an error too — the block decoded zero-fill garbage.
 int64_t decode_segment(const uint8_t* data, int64_t data_len,
                        const int32_t* comp_idx, int64_t first_block,
                        int64_t n_blocks_seg, int n_components,
-                       const CompLut* luts, int32_t* out_coefs) {
+                       const CompLut* luts, int32_t* out_coefs,
+                       bool check_overrun = false) {
   BitReader br(data, data_len);
   int32_t dc_pred[8] = {0};
   for (int64_t b = 0; b < n_blocks_seg; ++b) {
@@ -110,6 +113,9 @@ int64_t decode_segment(const uint8_t* data, int64_t data_len,
       if (cof >= 64) return -(blk + 1);
       coefs[cof++] = val;
     }
+    // consumed bits = fetched - buffered (prefetch-independent)
+    if (check_overrun && br.bytepos * 8 - br.cnt > data_len * 8)
+      return -(blk + 1);
   }
   return 0;
 }
@@ -222,6 +228,28 @@ int64_t encode_segment(const int32_t* qcoefs, const int32_t* comp_idx,
   return w.n;
 }
 
+// Run `work(s)` over all segments, optionally on a small thread pool.
+template <typename F>
+void parallel_for_segments(int64_t n_segments, int n_threads, F work) {
+  if (n_threads <= 1 || n_segments == 1) {
+    for (int64_t s = 0; s < n_segments; ++s) work(s);
+    return;
+  }
+  int nt = std::min<int64_t>(n_threads, n_segments);
+  std::vector<std::thread> threads;
+  std::atomic<int64_t> next{0};
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&]() {
+      for (;;) {
+        int64_t s = next.fetch_add(1);
+        if (s >= n_segments) break;
+        work(s);
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -267,24 +295,64 @@ int64_t vct_decode_blocks(
       err.compare_exchange_strong(expected, r);
     }
   };
-  if (n_threads <= 1 || n_segments == 1) {
-    for (int64_t s = 0; s < n_segments; ++s) work(s);
-  } else {
-    int nt = std::min<int64_t>(n_threads, n_segments);
-    std::vector<std::thread> threads;
-    std::atomic<int64_t> next{0};
-    for (int t = 0; t < nt; ++t) {
-      threads.emplace_back([&]() {
-        for (;;) {
-          int64_t s = next.fetch_add(1);
-          if (s >= n_segments) break;
-          work(s);
-        }
-      });
-    }
-    for (auto& t : threads) t.join();
-  }
+  parallel_for_segments(n_segments, n_threads, work);
   return err.load();
+}
+
+// Resync (error-concealment) decode: like vct_decode_blocks, but a decode
+// error inside a segment conceals that segment instead of aborting the
+// scan — the failing block and every later block of the segment stay
+// all-zero coefficients (the valid prefix is kept). This is the restart-
+// marker resynchronization the JPEG standard provides and the reference
+// leaves TODO (jpeg/README.md:36): segments are independent, so damage
+// cannot propagate past the next RSTn.
+// seg_status[s] = 0 (clean) or -(failing_block+1). Returns the number of
+// damaged segments (>= 0), or a negative hard error.
+int64_t vct_decode_blocks_resync(
+    const uint8_t* data,
+    const int64_t* seg_offsets,
+    int64_t n_segments,
+    const int32_t* comp_idx,
+    int64_t n_blocks,
+    int64_t blocks_per_segment,
+    int32_t n_components,
+    const int32_t* dc_maxbits,
+    const int32_t* dc_lut,
+    const int64_t* dc_lut_off,
+    const int32_t* ac_maxbits,
+    const int32_t* ac_lut,
+    const int64_t* ac_lut_off,
+    int32_t* out_coefs,
+    int64_t* seg_status,
+    int32_t n_threads) {
+  if (n_components > 8) return -1000000000;
+  std::vector<CompLut> luts(n_components);
+  for (int c = 0; c < n_components; ++c) {
+    luts[c].dc = dc_lut + dc_lut_off[c];
+    luts[c].dc_maxbits = dc_maxbits[c];
+    luts[c].ac = ac_lut + ac_lut_off[c];
+    luts[c].ac_maxbits = ac_maxbits[c];
+  }
+  std::atomic<int64_t> n_damaged{0};
+  auto work = [&](int64_t s) {
+    int64_t first = s * blocks_per_segment;
+    int64_t count = std::min(blocks_per_segment, n_blocks - first);
+    if (count <= 0) { seg_status[s] = 0; return; }
+    int64_t r = decode_segment(data + seg_offsets[s],
+                               seg_offsets[s + 1] - seg_offsets[s], comp_idx,
+                               first, count, n_components, luts.data(),
+                               out_coefs, /*check_overrun=*/true);
+    seg_status[s] = r;
+    if (r != 0) {
+      // conceal the failing block (possibly partially written) onward
+      int64_t bad = -r - 1;
+      std::memset(out_coefs + bad * 64, 0,
+                  (size_t)(first + count - bad) * 64 * sizeof(int32_t));
+      n_damaged.fetch_add(1);
+    }
+  };
+  parallel_for_segments(n_segments, n_threads, work);
+  return n_damaged.load();
 }
 
 // Encode all segments of a scan. Each segment s writes its stuffed,
@@ -328,23 +396,7 @@ int64_t vct_encode_blocks(
       seg_lens[s] = r;
     }
   };
-  if (n_threads <= 1 || n_segments == 1) {
-    for (int64_t s = 0; s < n_segments; ++s) work(s);
-  } else {
-    int nt = std::min<int64_t>(n_threads, n_segments);
-    std::vector<std::thread> threads;
-    std::atomic<int64_t> next{0};
-    for (int t = 0; t < nt; ++t) {
-      threads.emplace_back([&]() {
-        for (;;) {
-          int64_t s = next.fetch_add(1);
-          if (s >= n_segments) break;
-          work(s);
-        }
-      });
-    }
-    for (auto& t : threads) t.join();
-  }
+  parallel_for_segments(n_segments, n_threads, work);
   return err.load();
 }
 
@@ -384,6 +436,6 @@ int64_t vct_destuff_segments(
   return nseg;
 }
 
-int32_t vct_version() { return 1; }
+int32_t vct_version() { return 2; }
 
 }  // extern "C"

@@ -69,6 +69,15 @@ def load():
         p_i32, i32,                # out_coefs, n_threads
     ]
 
+    lib.vct_decode_blocks_resync.restype = i64
+    lib.vct_decode_blocks_resync.argtypes = [
+        p_u8, p_i64, i64,          # data, seg_offsets, n_segments
+        p_i32, i64, i64, i32,      # comp_idx, n_blocks, blocks/seg, n_comp
+        p_i32, p_i32, p_i64,       # dc maxbits, lut, offsets
+        p_i32, p_i32, p_i64,       # ac maxbits, lut, offsets
+        p_i32, p_i64, i32,         # out_coefs, seg_status, n_threads
+    ]
+
     lib.vct_encode_blocks.restype = i64
     lib.vct_encode_blocks.argtypes = [
         p_i32, p_i32, i64, i64, i64, i32,   # qcoefs, comp_idx, n_blocks, b/seg, n_seg, n_comp

@@ -60,6 +60,88 @@ def destuff_segments(data: bytes, use_native: bool | None = None) -> list[bytes]
 # decode
 # --------------------------------------------------------------------------
 
+class SegmentDecodeError(ValueError):
+    """Malformed entropy data; ``block`` is the failing global block."""
+
+    def __init__(self, block: int):
+        super().__init__(f"entropy decode failed at block {block}")
+        self.block = block
+
+
+def _decode_segment_py(segment: bytes, comp_idx: np.ndarray, first: int,
+                       count: int, tables: DecoderTables,
+                       coefs: np.ndarray) -> None:
+    """Decode ``count`` blocks of one restart segment into
+    ``coefs[first:first+count]``. Raises SegmentDecodeError naming the
+    failing (global) block index on malformed data."""
+    _decode_blocks_from_bits(BitReader(segment), comp_idx, first, count,
+                             tables, coefs)
+
+
+def _decode_blocks_from_bits(bits: BitReader, comp_idx: np.ndarray,
+                             first: int, count: int, tables: DecoderTables,
+                             coefs: np.ndarray,
+                             bit_limit: int | None = None) -> None:
+    dc_preds = [0] * len(tables.dc_luts)
+    for i in range(first, first + count):
+        c = int(comp_idx[i])
+        dc_tab = tables.dc_luts[c]
+        ac_tab = tables.ac_luts[c]
+        row = coefs[i]
+        length, data = dc_tab.lookup(bits.show(dc_tab.max_bits))
+        if length == 0:
+            raise SegmentDecodeError(i)
+        bits.advance(length)
+        dc_preds[c] += mag(data, bits.get(data) if data else 0)
+        row[0] = dc_preds[c]
+        cof = 1
+        while cof < 64:
+            length, data = ac_tab.lookup(bits.show(ac_tab.max_bits))
+            if length == 0:
+                raise SegmentDecodeError(i)
+            bits.advance(length)
+            run, size = (data >> 4) & 0xF, data & 0xF
+            val = mag(size, bits.get(size) if size else 0)
+            if val == 0 and run == 0:
+                break
+            cof += run
+            if cof >= 64:
+                raise SegmentDecodeError(i)
+            row[cof] = val
+            cof += 1
+        # consuming past the segment's real bits means the block decoded
+        # zero-fill garbage (truncated data) — an error, checked after
+        # each block to match the native engine and the golden model
+        if bit_limit is not None and bits.bit_pos > bit_limit:
+            raise SegmentDecodeError(i)
+
+
+def _native_decode(lib, segments, comp_idx, n_blocks, blocks_per_segment,
+                   tables, coefs, n_threads, seg_status=None):
+    """Shared native-call plumbing for strict and resync decode paths."""
+    data = np.frombuffer(b"".join(segments), dtype=np.uint8)
+    if data.size == 0:
+        data = np.zeros(1, dtype=np.uint8)
+    offsets = np.zeros(len(segments) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum([len(s) for s in segments])
+    nt = n_threads if n_threads is not None else _default_threads()
+    if seg_status is None:
+        return lib.vct_decode_blocks(
+            data, offsets, len(segments),
+            comp_idx, n_blocks, blocks_per_segment,
+            len(tables.dc_maxbits),
+            tables.dc_maxbits, tables.dc_lut, tables.dc_off,
+            tables.ac_maxbits, tables.ac_lut, tables.ac_off,
+            coefs.reshape(-1), nt)
+    return lib.vct_decode_blocks_resync(
+        data, offsets, len(segments),
+        comp_idx, n_blocks, blocks_per_segment,
+        len(tables.dc_maxbits),
+        tables.dc_maxbits, tables.dc_lut, tables.dc_off,
+        tables.ac_maxbits, tables.ac_lut, tables.ac_off,
+        coefs.reshape(-1), seg_status, nt)
+
+
 def decode_scan(segments: list[bytes], comp_idx: np.ndarray,
                 blocks_per_segment: int, tables: DecoderTables,
                 use_native: bool | None = None,
@@ -76,57 +158,157 @@ def decode_scan(segments: list[bytes], comp_idx: np.ndarray,
     coefs = np.zeros((n_blocks, 64), dtype=np.int32)
     lib = native.load() if use_native in (None, True) else None
     if lib is not None:
-        data = np.frombuffer(b"".join(segments), dtype=np.uint8)
-        if data.size == 0:
-            data = np.zeros(1, dtype=np.uint8)
-        offsets = np.zeros(len(segments) + 1, dtype=np.int64)
-        offsets[1:] = np.cumsum([len(s) for s in segments])
-        rc = lib.vct_decode_blocks(
-            data, offsets, len(segments),
-            comp_idx, n_blocks, blocks_per_segment,
-            len(tables.dc_maxbits),
-            tables.dc_maxbits, tables.dc_lut, tables.dc_off,
-            tables.ac_maxbits, tables.ac_lut, tables.ac_off,
-            coefs.reshape(-1),
-            n_threads if n_threads is not None else _default_threads())
+        rc = _native_decode(lib, segments, comp_idx, n_blocks,
+                            blocks_per_segment, tables, coefs, n_threads)
         if rc != 0:
             raise ValueError(f"entropy decode failed at block {-rc - 1}")
         return coefs
     # python fallback
-    seg = 0
-    bits = BitReader(segments[0])
-    dc_preds = [0] * len(tables.dc_luts)
-    for i in range(n_blocks):
-        if i > 0 and i % blocks_per_segment == 0:
-            seg += 1
-            bits = BitReader(segments[seg])
-            dc_preds = [0] * len(tables.dc_luts)
-        c = int(comp_idx[i])
-        dc_tab = tables.dc_luts[c]
-        ac_tab = tables.ac_luts[c]
-        row = coefs[i]
-        length, data = dc_tab.lookup(bits.show(dc_tab.max_bits))
-        if length == 0:
-            raise ValueError(f"entropy decode failed at block {i}")
-        bits.advance(length)
-        dc_preds[c] += mag(data, bits.get(data) if data else 0)
-        row[0] = dc_preds[c]
-        cof = 1
-        while cof < 64:
-            length, data = ac_tab.lookup(bits.show(ac_tab.max_bits))
-            if length == 0:
-                raise ValueError(f"entropy decode failed at block {i}")
-            bits.advance(length)
-            run, size = (data >> 4) & 0xF, data & 0xF
-            val = mag(size, bits.get(size) if size else 0)
-            if val == 0 and run == 0:
-                break
-            cof += run
-            if cof >= 64:
-                raise ValueError(f"entropy decode failed at block {i}")
-            row[cof] = val
-            cof += 1
+    for s, segment in enumerate(segments):
+        first = s * blocks_per_segment
+        count = min(blocks_per_segment, n_blocks - first)
+        _decode_segment_py(segment, comp_idx, first, count, tables, coefs)
     return coefs
+
+
+def rst_marker_indices(data: bytes) -> list[int]:
+    """The RSTn modulo-8 indices of a raw (stuffed) entropy-coded stream,
+    in order — same termination semantics as destuff_segments."""
+    idx: list[int] = []
+    pos = 0
+    n = len(data)
+    while True:
+        nxt = data.find(b"\xff", pos)
+        if nxt == -1:
+            break
+        m = data[nxt + 1] if nxt + 1 < n else 0xD9
+        if m == 0x00:
+            pos = nxt + 2
+        elif 0xD0 <= m <= 0xD7:
+            idx.append(m & 7)
+            pos = nxt + 2
+        elif m == 0xFF:
+            pos = nxt + 1
+        else:
+            break
+    return idx
+
+
+def _decode_run_py(segment: bytes, comp_idx: np.ndarray, slot0: int,
+                   n_slots: int, blocks_per_segment: int, n_blocks: int,
+                   tables: DecoderTables, coefs: np.ndarray) -> list[int]:
+    """Decode a multi-slot run: RST markers were lost, so ``segment``
+    carries several slots' payloads back to back (each 1-padded to a byte
+    boundary). DC predictors reset and bits re-align at every slot
+    boundary. Returns the damaged slot indices (error → conceal to the end
+    of the run, since the bit position is unreliable past it)."""
+    B = blocks_per_segment
+    bits = BitReader(segment)
+    for t in range(n_slots):
+        slot = slot0 + t
+        first = slot * B
+        count = min(B, n_blocks - first)
+        if count <= 0:
+            break
+        if t:
+            bits.align_to_byte()
+        try:
+            _decode_blocks_from_bits(bits, comp_idx, first, count, tables,
+                                     coefs, bit_limit=8 * len(segment))
+        except SegmentDecodeError as e:
+            run_end = min((slot0 + n_slots) * B, n_blocks)
+            coefs[e.block:run_end] = 0
+            return [s for s in range(slot, slot0 + n_slots)
+                    if s * B < n_blocks]
+    return []
+
+
+def decode_scan_resync(segments: list[bytes], comp_idx: np.ndarray,
+                       blocks_per_segment: int, tables: DecoderTables,
+                       use_native: bool | None = None,
+                       n_threads: int | None = None,
+                       marker_indices: list[int] | None = None
+                       ) -> tuple[np.ndarray, list[int]]:
+    """Error-concealing scan decode using restart-marker resynchronization
+    (the standard recovery mechanism the reference leaves TODO —
+    jpeg/README.md:36).
+
+    A decode error inside a segment conceals it from the failing block
+    onward (all-zero coefficients → mid-gray after reconstruction); the
+    valid prefix is kept and decode resumes cleanly at the next RSTn
+    because segments are independent. With ``marker_indices`` (the RSTn
+    modulo-8 terminator indices, from ``rst_marker_indices``), segments
+    are re-aligned by index first, so *marker* damage is survivable too: a
+    destroyed RSTn merges two received segments, which are detected by the
+    index jump and decoded back-to-back — full recovery instead of
+    shifting (and garbling) every later segment. Truncated streams conceal
+    the missing segments; extras are ignored.
+
+    Returns ``(coefs, damaged)`` — the (n_blocks, 64) int32 coefficient
+    tensor and the sorted list of damaged segment indices. Bit-identical
+    between the native and Python paths, and with the golden model's
+    ``decode_entropy(resync=True)``."""
+    from ..model.decoder import plan_segment_alignment
+
+    B = blocks_per_segment
+    n_blocks = len(comp_idx)
+    expected = (n_blocks + B - 1) // B
+    comp_idx = np.ascontiguousarray(comp_idx, dtype=np.int32)
+    coefs = np.zeros((n_blocks, 64), dtype=np.int32)
+    if marker_indices is not None and len(marker_indices) == len(segments) - 1:
+        items, uncovered = plan_segment_alignment(
+            marker_indices, len(segments), expected)
+    else:
+        n_avail = min(len(segments), expected)
+        items = [(s, 1, s) for s in range(n_avail)]
+        uncovered = list(range(n_avail, expected))
+    damaged = set(uncovered)
+    # contiguous single-slot stretches go to the native bulk decoder;
+    # multi-slot runs (marker loss) take the python path — rare by
+    # construction
+    groups: list[tuple[int, list[int]]] = []
+    runs = []
+    for slot0, n_slots, j in items:
+        if n_slots == 1:
+            if groups and groups[-1][0] + len(groups[-1][1]) == slot0:
+                groups[-1][1].append(j)
+            else:
+                groups.append((slot0, [j]))
+        else:
+            runs.append((slot0, n_slots, j))
+    lib = native.load() if use_native in (None, True) else None
+    for slot0, js in groups:
+        first = slot0 * B
+        count_blocks = min(len(js) * B, n_blocks - first)
+        if count_blocks <= 0:
+            continue
+        segs = [segments[j] for j in js]
+        if lib is not None:
+            seg_status = np.zeros(len(js), dtype=np.int64)
+            rc = _native_decode(lib, segs, comp_idx[first:], count_blocks,
+                                B, tables, coefs[first:], n_threads,
+                                seg_status=seg_status)
+            if rc < 0:
+                raise ValueError("entropy decode failed")
+            damaged.update(slot0 + int(s)
+                           for s in np.nonzero(seg_status)[0])
+            continue
+        for t, segment in enumerate(segs):
+            sfirst = (slot0 + t) * B
+            count = min(B, n_blocks - sfirst)
+            if count <= 0:
+                break
+            try:
+                _decode_blocks_from_bits(
+                    BitReader(segment), comp_idx, sfirst, count, tables,
+                    coefs, bit_limit=8 * len(segment))
+            except SegmentDecodeError as e:
+                coefs[e.block:sfirst + count] = 0  # partial failing block
+                damaged.add(slot0 + t)
+    for slot0, n_slots, j in runs:
+        damaged.update(_decode_run_py(segments[j], comp_idx, slot0,
+                                      n_slots, B, n_blocks, tables, coefs))
+    return coefs, sorted(damaged)
 
 
 # --------------------------------------------------------------------------

@@ -94,15 +94,19 @@ def mag(cat: int, code: int) -> int:
     return (code | (-1 << cat)) + 1
 
 
-def extract_entropy_segments(bits: BitReader) -> list[bytes]:
+def extract_entropy_segments_with_markers(
+        bits: BitReader) -> tuple[list[bytes], list[int]]:
     """De-stuff the entropy-coded data, splitting at RSTn markers.
 
     Generalizes decoder.ml:261-281 extract_entropy_coded_bits: 0xFF00 →
     0xFF; RST0-7 ends the current segment and starts the next; any other
-    marker terminates the scan."""
+    marker terminates the scan. Also returns the RSTn modulo-8 index of
+    each segment terminator (len = len(segments) - 1) — the standard's
+    hook for re-aligning segments after marker loss (resync)."""
     buf = bits.buffer
     pos = bits.bit_pos >> 3
     segments: list[bytes] = []
+    marker_indices: list[int] = []
     out = bytearray()
     n = len(buf)
     while True:
@@ -118,6 +122,7 @@ def extract_entropy_segments(bits: BitReader) -> list[bytes]:
             pos = nxt + 2
         elif marker_codes.is_rst(marker):
             segments.append(bytes(out))
+            marker_indices.append(marker & 7)
             out = bytearray()
             pos = nxt + 2
         elif marker == 0xFF:
@@ -126,7 +131,61 @@ def extract_entropy_segments(bits: BitReader) -> list[bytes]:
         else:
             break
     segments.append(bytes(out))
-    return segments
+    return segments, marker_indices
+
+
+def extract_entropy_segments(bits: BitReader) -> list[bytes]:
+    return extract_entropy_segments_with_markers(bits)[0]
+
+
+def plan_segment_alignment(marker_indices: list[int], n_received: int,
+                           expected: int) -> tuple[list, list[int]]:
+    """Assign received restart segments to expected segment slots using
+    the RSTn modulo-8 marker indices (segment s is terminated by RST(s%8)).
+
+    This is what makes resync robust to *marker* damage, not just payload
+    damage: a destroyed RSTn merges two received segments, and without the
+    index check every later segment would shift — corrupting the rest of
+    the frame. With it, a merged segment is detected (its terminator index
+    jumps by k) and decoded as a run of k+1 slots (the payload bytes are
+    still intact, so the data is fully recovered), and later segments stay
+    aligned.
+
+    Returns ``(items, uncovered)``: items are ``(slot0, n_slots, j)`` —
+    received segment j holds slots [slot0, slot0+n_slots) — and uncovered
+    lists slots no received segment claims (to be concealed)."""
+    items = []
+    p = 0
+    for j in range(n_received):
+        if p >= expected:
+            break  # extra trailing segments: ignore
+        m = marker_indices[j] if j < len(marker_indices) else None
+        if m is None or m == p % 8:
+            items.append((p, 1, j))
+            p += 1
+            continue
+        k = (m - p) % 8
+        # cross-check against the *next* terminator: if it matches the
+        # single-slot continuation, this marker's index byte was merely
+        # corrupted (the split position is right) — don't hypothesize a
+        # merge, which would mis-place every later segment
+        nxt = marker_indices[j + 1] if j + 1 < len(marker_indices) else None
+        if nxt is not None and nxt == (p + 1) % 8:
+            items.append((p, 1, j))
+            p += 1
+        elif p + k < expected:
+            # k markers lost: segment j carries slots p..p+k back to back
+            items.append((p, k + 1, j))
+            p += k + 1
+        else:
+            # index jump past the scan end: unreliable, best-effort single
+            items.append((p, 1, j))
+            p += 1
+    slots = set()
+    for slot0, n_slots, _j in items:
+        slots.update(range(slot0, slot0 + n_slots))
+    uncovered = [s for s in range(expected) if s not in slots]
+    return items, uncovered
 
 
 @dataclasses.dataclass
@@ -216,7 +275,8 @@ class Decoder:
                 ac_tab=_find_huffman_lut(
                     header.huffman_tables, 1, sc.ac_coef_selector, ac=True),
             ))
-        self.entropy_segments = extract_entropy_segments(bits)
+        self.entropy_segments, self.entropy_marker_indices = (
+            extract_entropy_segments_with_markers(bits))
         self.restart_interval = (
             header.restart_interval.restart_interval
             if header.restart_interval else 0)
@@ -282,12 +342,20 @@ class Decoder:
             coefs[cof_cnt] = value
             cof_cnt += 1
 
-    def decode_entropy(self) -> np.ndarray:
+    def decode_entropy(self, resync: bool = False) -> np.ndarray:
         """Sequential entropy decode of the whole scan.
 
         Returns (num_blocks, 64) int32 zigzag-order coefficients with DC
         prediction already resolved, in block_schedule order. Restart
-        segments reset DC predictors and bit alignment."""
+        segments reset DC predictors and bit alignment.
+
+        With ``resync=True``, decode errors are concealed using restart-
+        marker resynchronization (the standard's recovery mechanism, TODO
+        in the reference — jpeg/README.md:36): the damaged segment is
+        zeroed from the failing block onward and decode resumes at the
+        next RSTn; missing segments (truncated stream) decode as all-zero
+        blocks. ``self.damaged_segments`` lists concealed segment
+        indices."""
         sched = self.block_schedule()
         coefs = np.zeros((len(sched), 64), dtype=np.int32)
         mcu_size = sum(c.component.horizontal_sampling_factor
@@ -295,18 +363,69 @@ class Decoder:
                        for c in self.components)
         blocks_per_segment = (self.restart_interval * mcu_size
                               if self.restart_interval else len(sched))
-        seg_idx = 0
-        bits = BitReader(self.entropy_segments[0])
-        dc_preds = [0] * len(self.components)
-        for i, (ci, _x, _y) in enumerate(sched):
-            if i > 0 and i % blocks_per_segment == 0:
-                seg_idx += 1
-                bits = BitReader(self.entropy_segments[seg_idx])
-                dc_preds = [0] * len(self.components)
-            row = coefs[i]
-            self._huffman_decode_block(bits, self.components[ci], row)
-            dc_preds[ci] += int(row[0])
-            row[0] = dc_preds[ci]
+        n_segments = -(-len(sched) // blocks_per_segment)
+        self.damaged_segments: list[int] = []
+
+        def decode_slot(bits, slot, bit_limit=None):
+            """Decode one slot's blocks. Returns None, or the global index
+            of the failing block (zeroed; earlier blocks are valid).
+            ``bit_limit`` (resync) flags data exhaustion: consuming past
+            the segment's real bits means zero-fill garbage, an error."""
+            first = slot * blocks_per_segment
+            count = min(blocks_per_segment, len(sched) - first)
+            dc_preds = [0] * len(self.components)
+            for i in range(first, first + count):
+                ci = sched[i][0]
+                row = coefs[i]
+                try:
+                    self._huffman_decode_block(
+                        bits, self.components[ci], row)
+                    if bit_limit is not None and bits.bit_pos > bit_limit:
+                        raise DecodeError("segment data exhausted")
+                except DecodeError:
+                    row[:] = 0  # failing block may be partially written
+                    return i
+                dc_preds[ci] += int(row[0])
+                row[0] = dc_preds[ci]
+            return None
+
+        if not resync:
+            for slot in range(n_segments):
+                if slot >= len(self.entropy_segments):
+                    raise DecodeError(f"missing restart segment {slot}")
+                bad = decode_slot(BitReader(self.entropy_segments[slot]),
+                                  slot)
+                if bad is not None:
+                    raise DecodeError(
+                        f"entropy decode failed at block {bad}")
+            return coefs
+
+        # resync: re-align received segments by RSTn modulo-8 index, then
+        # decode each (possibly multi-slot, after marker loss) run,
+        # concealing from the first error to the end of the run
+        items, uncovered = plan_segment_alignment(
+            self.entropy_marker_indices, len(self.entropy_segments),
+            n_segments)
+        damaged = set(uncovered)
+        for slot0, n_slots, j in items:
+            seg = self.entropy_segments[j]
+            bits = BitReader(seg)
+            for t in range(n_slots):
+                slot = slot0 + t
+                if slot * blocks_per_segment >= len(sched):
+                    break
+                if t:
+                    bits.align_to_byte()  # slots are 1-padded to bytes
+                bad = decode_slot(bits, slot, bit_limit=8 * len(seg))
+                if bad is not None:
+                    run_end = min((slot0 + n_slots) * blocks_per_segment,
+                                  len(sched))
+                    coefs[bad:run_end] = 0
+                    damaged.update(
+                        s for s in range(slot, slot0 + n_slots)
+                        if s * blocks_per_segment < len(sched))
+                    break
+        self.damaged_segments = sorted(damaged)
         return coefs
 
     # -- numerics (batched) ----------------------------------------------
@@ -328,8 +447,8 @@ class Decoder:
             comp = self.components[ci]
             comp.plane.data[y:y + 8, x:x + 8] = recon[i]
 
-    def decode(self) -> None:
-        self.reconstruct(self.decode_entropy())
+    def decode(self, resync: bool = False) -> None:
+        self.reconstruct(self.decode_entropy(resync=resync))
 
     # -- sequenced per-block API (lockstep testing hook) ------------------
     def decode_blocks_seq(self):

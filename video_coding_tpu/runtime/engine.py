@@ -109,9 +109,25 @@ class JpegDecoderSession:
         return run
 
     # -- per frame --------------------------------------------------------
-    def decode_entropy(self, entropy_data: bytes) -> np.ndarray:
-        """Raw (stuffed) entropy-coded bytes → (N,64) coefficients."""
+    def decode_entropy(self, entropy_data: bytes,
+                       resync: bool = False) -> np.ndarray:
+        """Raw (stuffed) entropy-coded bytes → (N,64) coefficients.
+
+        With ``resync=True``, corrupt or truncated streams are concealed
+        per restart segment (damaged segments zeroed from the failing
+        block; see entropy.scan.decode_scan_resync) instead of raising;
+        ``self.last_damaged_segments`` reports what was concealed. Resync
+        runs on the host entropy tiers (the device loop has no error
+        strobes)."""
         segments = entropy_scan.destuff_segments(entropy_data)
+        if resync:
+            coefs, damaged = entropy_scan.decode_scan_resync(
+                segments, self.comp_idx, self.blocks_per_segment,
+                self.tables, use_native=(self.entropy != "python"),
+                marker_indices=entropy_scan.rst_marker_indices(entropy_data))
+            self.last_damaged_segments = damaged
+            return coefs
+        self.last_damaged_segments = []
         if self.entropy == "tpu":
             from ..entropy.tpu_decode import decode_scan_tpu
             return decode_scan_tpu(segments, self.comp_idx,
@@ -125,8 +141,8 @@ class JpegDecoderSession:
         device."""
         return self._jit(jnp.asarray(coefs))
 
-    def decode(self, entropy_data: bytes) -> Frame:
-        coefs = self.decode_entropy(entropy_data)
+    def decode(self, entropy_data: bytes, resync: bool = False) -> Frame:
+        coefs = self.decode_entropy(entropy_data, resync=resync)
         planes_dev = self.decode_planes_device(coefs)
         return self._to_frame(planes_dev)
 
@@ -357,13 +373,13 @@ class JpegDecoderSession:
         return run
 
 
-def decode_jpeg(data: bytes, impl: str = "auto"):
+def decode_jpeg(data: bytes, impl: str = "auto", resync: bool = False):
     """One-shot accelerated decode of a full JPEG byte stream."""
     bits = BitReader(data)
     header = Header.decode(bits)
     session = JpegDecoderSession(header, impl=impl)
     entropy = data[bits.bit_pos >> 3:]
-    return session.decode(entropy)
+    return session.decode(entropy, resync=resync)
 
 
 class JpegEncoderSession:
