@@ -52,12 +52,16 @@ class JpegDecoderSession:
     the Motion-JPEG steady state."""
 
     def __init__(self, header: Header, impl: str = "auto",
-                 entropy: str = "native"):
+                 entropy: str = "native", coef_transfer: str = "auto"):
         """entropy: 'native' (C++ threads), 'python' (fallback spec), or
-        'tpu' (vectorized on-device Huffman loop, one segment per lane)."""
+        'tpu' (vectorized on-device Huffman loop, one segment per lane).
+        coef_transfer: 'dense', 'sparse' (bitmask+values upload for the
+        mixed host-entropy path — ~4-6x less interconnect traffic), or
+        'auto' (sparse on TPU, dense elsewhere)."""
         self.header = header
         self.impl = impl
         self.entropy = entropy
+        self.coef_transfer = coef_transfer
         # geometry via the golden model's component planner
         probe = Decoder(header, BitReader(b"\x00"))
         self.components = probe.components
@@ -86,25 +90,43 @@ class JpegDecoderSession:
             order = sorted(rows, key=lambda i: (sched[i][2], sched[i][1]))
             self.plane_geom.append(
                 (np.array(order, dtype=np.int32), nby, nbx))
+        self._quant_dev = jnp.asarray(self.quant)
+        self._geom_dev = [(jnp.asarray(idx), nby, nbx)
+                          for idx, nby, nbx in self.plane_geom]
+        self._use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+        self._sparse = self.coef_transfer == "sparse" or (
+            self.coef_transfer == "auto" and datapath._on_tpu())
         self._jit = self._build_jit()
 
-    def _build_jit(self):
-        quant = jnp.asarray(self.quant)
-        geom = [(jnp.asarray(idx), nby, nbx)
-                for idx, nby, nbx in self.plane_geom]
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and datapath._on_tpu())
+    # -- shared traceable datapath tails ------------------------------------
+    def _decode_tail(self, coefs):
+        """(N,64) coefficients → plane tuple (traced inside jit)."""
+        if self._use_pallas:
+            pixels = datapath.decode_datapath_pallas(coefs, self._quant_dev)
+        else:
+            pixels = datapath.decode_datapath_jnp(coefs, self._quant_dev)
+        pixels = pixels.astype(jnp.uint8)
+        return tuple(_plane_from_blocks(pixels, idx, nby, nbx)
+                     for idx, nby, nbx in self._geom_dev)
 
+    def _decode_tail_batch(self, coefs_flat, f):
+        """(f*N,64) coefficients → tuple of (f,H,W) plane stacks."""
+        qrep = jnp.tile(self._quant_dev, (f, 1))
+        if self._use_pallas:
+            pixels = datapath.decode_datapath_pallas(coefs_flat, qrep)
+        else:
+            pixels = datapath.decode_datapath_jnp(coefs_flat, qrep)
+        pixels = pixels.astype(jnp.uint8).reshape(f, self.n_blocks, 8, 8)
+        return tuple(
+            jax.vmap(lambda px: _plane_from_blocks(px, idx, nby, nbx))(
+                pixels)
+            for idx, nby, nbx in self._geom_dev)
+
+    def _build_jit(self):
         @jax.jit
         def run(coefs):
-            if use_pallas:
-                pixels = datapath.decode_datapath_pallas(coefs, quant)
-            else:
-                pixels = datapath.decode_datapath_jnp(coefs, quant)
-            pixels = pixels.astype(jnp.uint8)
-            return tuple(
-                _plane_from_blocks(pixels, idx, nby, nbx)
-                for idx, nby, nbx in geom)
+            return self._decode_tail(coefs)
 
         return run
 
@@ -138,8 +160,37 @@ class JpegDecoderSession:
 
     def decode_planes_device(self, coefs: np.ndarray):
         """(N,64) coefficients → tuple of decoded (padded) planes on
-        device."""
-        return self._jit(jnp.asarray(coefs))
+        device. With sparse transfer enabled, only the occupancy bitmask
+        and packed nonzeros cross the interconnect (the device scatters
+        them back to dense before the datapath)."""
+        if not self._sparse:
+            return self._jit(jnp.asarray(coefs))
+        mask, values, cap = self._pack_upload(coefs)
+        fn = self._cached_jit(("dec_sparse", cap),
+                              self._build_sparse_dec_jit, cap)
+        return fn(jnp.asarray(mask), jnp.asarray(values))
+
+    @staticmethod
+    def _pack_upload(coefs: np.ndarray):
+        """Host-side sparse pack with the value buffer padded to a
+        power-of-two bucket (bounds recompiles)."""
+        from ..ops import sparse
+
+        mask, values, nnz = sparse.pack_host(coefs)
+        cap = max(256, 1 << (max(nnz, 1) - 1).bit_length())
+        return mask, np.pad(values, (0, cap - nnz)), cap
+
+    def _build_sparse_dec_jit(self, cap: int):
+        from ..ops import sparse
+
+        n_blocks = self.n_blocks
+
+        @jax.jit
+        def run(mask, values):
+            return self._decode_tail(
+                sparse.unpack_device(mask, values, n_blocks))
+
+        return run
 
     def decode(self, entropy_data: bytes, resync: bool = False) -> Frame:
         coefs = self.decode_entropy(entropy_data, resync=resync)
@@ -209,25 +260,13 @@ class JpegDecoderSession:
         dc_lut_np, ac_lut_np = tpu_decode.expand_luts(self.tables)
         dc_lut = jnp.asarray(dc_lut_np)
         ac_lut = jnp.asarray(ac_lut_np)
-        quant = jnp.asarray(self.quant)
-        geom = [(jnp.asarray(idx), nby, nbx)
-                for idx, nby, nbx in self.plane_geom]
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and datapath._on_tpu())
 
         @jax.jit
         def run(segbytes, seg_blocks):
             coefs3 = tpu_decode.decode_segments_device(
                 segbytes, seg_blocks, comp_sched, dc_lut, ac_lut,
                 blocks_per_segment=B)
-            coefs = coefs3.reshape(-1, 64)[:n_blocks]
-            if use_pallas:
-                pixels = datapath.decode_datapath_pallas(coefs, quant)
-            else:
-                pixels = datapath.decode_datapath_jnp(coefs, quant)
-            pixels = pixels.astype(jnp.uint8)
-            return tuple(_plane_from_blocks(pixels, idx, nby, nbx)
-                         for idx, nby, nbx in geom)
+            return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
 
         return run
 
@@ -273,11 +312,6 @@ class JpegDecoderSession:
         dc_lut_np, ac_lut_np = tpu_decode.expand_luts(self.tables)
         dc_lut = jnp.asarray(dc_lut_np)
         ac_lut = jnp.asarray(ac_lut_np)
-        quant = jnp.asarray(self.quant)
-        geom = [(jnp.asarray(idx), nby, nbx)
-                for idx, nby, nbx in self.plane_geom]
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and datapath._on_tpu())
 
         @jax.jit
         def run(segbytes, seg_blocks):
@@ -285,17 +319,7 @@ class JpegDecoderSession:
                 segbytes, seg_blocks, comp_sched, dc_lut, ac_lut,
                 blocks_per_segment=B)
             coefs = coefs3.reshape(F, n_seg * B, 64)[:, :n_blocks, :]
-            flat = coefs.reshape(-1, 64)
-            qrep = jnp.tile(quant, (F, 1))
-            if use_pallas:
-                pixels = datapath.decode_datapath_pallas(flat, qrep)
-            else:
-                pixels = datapath.decode_datapath_jnp(flat, qrep)
-            pixels = pixels.astype(jnp.uint8).reshape(F, n_blocks, 8, 8)
-            return tuple(
-                jax.vmap(lambda px: _plane_from_blocks(px, idx, nby, nbx))(
-                    pixels)
-                for idx, nby, nbx in geom)
+            return self._decode_tail_batch(coefs.reshape(-1, 64), F)
 
         return run
 
@@ -339,36 +363,38 @@ class JpegDecoderSession:
         with concurrent.futures.ThreadPoolExecutor(
                 max_workers=min(8, len(entropy_list))) as pool:
             coefs = list(pool.map(self.decode_entropy, entropy_list))
-        batch = jnp.asarray(np.stack(coefs))
-        planes_batched = self._jit_batch(batch)
+        f = len(entropy_list)
+        if self._sparse:
+            mask, values, cap = self._pack_upload(
+                np.concatenate(coefs, axis=0))
+            fn = self._cached_jit(("dec_sparse_batch", f, cap),
+                                  self._build_sparse_dec_batch_jit, f, cap)
+            planes_batched = fn(jnp.asarray(mask), jnp.asarray(values))
+        else:
+            planes_batched = self._jit_batch(jnp.asarray(np.stack(coefs)))
         return [
             self._to_frame([p[i] for p in planes_batched])
             for i in range(len(entropy_list))
         ]
 
+    def _build_sparse_dec_batch_jit(self, f: int, cap: int):
+        from ..ops import sparse
+
+        total_blocks = f * self.n_blocks
+
+        @jax.jit
+        def run(mask, values):
+            coefs = sparse.unpack_device(mask, values, total_blocks)
+            return self._decode_tail_batch(coefs, f)
+
+        return run
+
     @functools.cached_property
     def _jit_batch(self):
-        quant = jnp.asarray(self.quant)
-        geom = [(jnp.asarray(idx), nby, nbx)
-                for idx, nby, nbx in self.plane_geom]
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and datapath._on_tpu())
-
         @jax.jit
         def run(coefs_batch):  # (F, N, 64)
             f = coefs_batch.shape[0]
-            flat = coefs_batch.reshape(-1, 64)
-            qrep = jnp.tile(quant, (f, 1))
-            if use_pallas:
-                pixels = datapath.decode_datapath_pallas(flat, qrep)
-            else:
-                pixels = datapath.decode_datapath_jnp(flat, qrep)
-            pixels = pixels.astype(jnp.uint8).reshape(
-                f, -1, 8, 8)
-            return tuple(
-                jax.vmap(lambda px: _plane_from_blocks(px, idx, nby, nbx))(
-                    pixels)
-                for idx, nby, nbx in geom)
+            return self._decode_tail_batch(coefs_batch.reshape(-1, 64), f)
 
         return run
 
@@ -388,12 +414,16 @@ class JpegEncoderSession:
     stream this framework produces is parallel-decodable."""
 
     def __init__(self, params: Parameters, restart_interval: int = 0,
-                 impl: str = "auto", entropy: str = "native"):
+                 impl: str = "auto", entropy: str = "native",
+                 coef_transfer: str = "auto"):
         """entropy: 'native' (C++ threads), 'python', or 'tpu' (on-device
-        scan+scatter bitstream packing)."""
+        scan+scatter bitstream packing). coef_transfer: 'dense', 'sparse'
+        (bitmask+values download of the quantized coefficients — ~4-6x
+        less interconnect traffic), or 'auto' (sparse on TPU)."""
         self.params = params
         self.impl = impl
         self.entropy = entropy
+        self.coef_transfer = coef_transfer
         probe = Encoder(params, restart_interval=restart_interval)
         self.scans = probe.scans
         self._probe = probe
@@ -430,30 +460,55 @@ class JpegEncoderSession:
                              for _i, (_si, x, y) in rows], dtype=np.int32)
             dest = np.array([i for i, _ in rows], dtype=np.int32)
             self.gather.append((take, dest, s.plane.height // 8, nbx))
+        self._quant_dev = jnp.asarray(self.quant)
+        self._gather_dev = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
+                            for t, d, nby, nbx in self.gather]
+        self._use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and datapath._on_tpu())
+        self._sparse = self.coef_transfer == "sparse" or (
+            self.coef_transfer == "auto" and datapath._on_tpu())
+        # sparse download: nonzero-value budget per block (adaptive — a
+        # low-quality/high-detail frame that overflows bumps it and falls
+        # back to dense for that frame)
+        self._cap_per_block = 16
         self._jit = self._build_jit()
 
-    def _build_jit(self):
-        quant = jnp.asarray(self.quant)
-        gather = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
-                  for t, d, nby, nbx in self.gather]
-        n_blocks = self.n_blocks
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and datapath._on_tpu())
+    # -- shared traceable numerics head -------------------------------------
+    def _encode_qc(self, planes):
+        """Padded planes → (N,64) int32 quantized zigzag coefficients
+        (traced inside jit)."""
+        pixels = jnp.zeros((self.n_blocks, 8, 8), dtype=jnp.int32)
+        for plane, (take, dest, nby, nbx) in zip(planes, self._gather_dev):
+            blocks = _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
+            pixels = pixels.at[dest].set(blocks[take])
+        if self._use_pallas:
+            return datapath.encode_datapath_pallas(pixels, self._quant_dev)
+        return datapath.encode_datapath_jnp(pixels, self._quant_dev)
 
+    def _encode_qc_batch(self, planes_batched, f):
+        """Stacked planes → (F*N, 64) int32 quantized coefficients."""
+        def one(*planes):
+            pixels = jnp.zeros((self.n_blocks, 8, 8), dtype=jnp.int32)
+            for plane, (take, dest, nby, nbx) in zip(planes,
+                                                     self._gather_dev):
+                blocks = _blocks_from_plane(
+                    plane.astype(jnp.int32), nby, nbx)
+                pixels = pixels.at[dest].set(blocks[take])
+            return pixels
+
+        pixels = jax.vmap(one)(*planes_batched).reshape(-1, 8, 8)
+        qrep = jnp.tile(self._quant_dev, (f, 1))
+        if self._use_pallas:
+            return datapath.encode_datapath_pallas(pixels, qrep)
+        return datapath.encode_datapath_jnp(pixels, qrep)
+
+    def _build_jit(self):
         @jax.jit
         def run(*planes):
-            pixels = jnp.zeros((n_blocks, 8, 8), dtype=jnp.int32)
-            for plane, (take, dest, nby, nbx) in zip(planes, gather):
-                blocks = _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
-                pixels = pixels.at[dest].set(blocks[take])
-            if use_pallas:
-                qc = datapath.encode_datapath_pallas(pixels, quant)
-            else:
-                qc = datapath.encode_datapath_jnp(pixels, quant)
             # quantized coefficients are bounded by ±1024 (x4-scaled fDCT
             # of ±128 inputs divided by 4·quant, quant ≥ 1) — int16 halves
             # the device→host transfer
-            return qc.astype(jnp.int16)
+            return self._encode_qc(planes).astype(jnp.int16)
 
         return run
 
@@ -474,7 +529,45 @@ class JpegEncoderSession:
         return out
 
     def quantize_device(self, planes) -> np.ndarray:
-        return np.asarray(self._jit(*[jnp.asarray(p) for p in planes]))
+        """Planes → (N,64) quantized coefficients on host. With sparse
+        transfer, only the occupancy bitmask + packed nonzeros cross the
+        interconnect; overflow (cap too small) falls back to dense and
+        doubles the budget for later frames."""
+        dev = [jnp.asarray(p) for p in planes]
+        if self._sparse:
+            from ..ops import sparse
+
+            cap = self._cap_per_block * self.n_blocks
+            fn = self._cached_jit(("q_sparse", cap),
+                                  self._build_sparse_enc_jit, cap)
+            mask, values, nnz = fn(*dev)
+            nnz = int(nnz)
+            if nnz <= cap:
+                self._adapt_cap(nnz, self.n_blocks)
+                return sparse.unpack_host(np.asarray(mask),
+                                          np.asarray(values), nnz,
+                                          self.n_blocks)
+            self._cap_per_block = min(64, max(1, self._cap_per_block) * 2)
+        return np.asarray(self._jit(*dev))
+
+    def _adapt_cap(self, nnz: int, total_blocks: int) -> None:
+        """Shrink the sparse value budget toward the observed density
+        (power-of-two buckets, 2x headroom) — the padded value buffer is
+        what actually crosses the interconnect, so an oversized cap wastes
+        the win. Growth happens only on overflow."""
+        per_block = max(2, -(-2 * nnz // total_blocks))
+        target = 1 << (per_block - 1).bit_length()
+        if target < self._cap_per_block:
+            self._cap_per_block = target
+
+    def _build_sparse_enc_jit(self, cap: int):
+        from ..ops import sparse
+
+        @jax.jit
+        def run(*planes):
+            return sparse.pack_device(self._encode_qc(planes), cap)
+
+        return run
 
     # -- fully on-device encode (numerics + entropy fused in one jit) -----
     def encode_device(self, frame) -> bytes:
@@ -524,9 +617,6 @@ class JpegEncoderSession:
         n_segments = (n_blocks + B - 1) // B
         pad_blocks = n_segments * B - n_blocks
         tail_count = n_blocks - (n_segments - 1) * B
-        quant = jnp.asarray(self.quant)
-        gather = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
-                  for t, d, nby, nbx in self.gather]
         comp_full = np.concatenate(
             [self.comp_idx, np.zeros(pad_blocks, np.int32)])
         comp_dev = jnp.asarray(comp_full)
@@ -539,20 +629,10 @@ class JpegEncoderSession:
         prev_same_dev = jnp.asarray(prev_same)
         dcb, dcl, acb, acl = tpu_encode.device_encoder_tables(self.tables)
         dcb, dcl, acb, acl = map(jnp.asarray, (dcb, dcl, acb, acl))
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and datapath._on_tpu())
 
         @jax.jit
         def run(*planes):
-            pixels = jnp.zeros((n_blocks, 8, 8), dtype=jnp.int32)
-            for plane, (take, dest, nby, nbx) in zip(planes, gather):
-                blocks = _blocks_from_plane(plane.astype(jnp.int32),
-                                            nby, nbx)
-                pixels = pixels.at[dest].set(blocks[take])
-            if use_pallas:
-                qc = datapath.encode_datapath_pallas(pixels, quant)
-            else:
-                qc = datapath.encode_datapath_jnp(pixels, quant)
+            qc = self._encode_qc(planes)
             if pad_blocks:
                 qc_padded = jnp.concatenate(
                     [qc, jnp.zeros((pad_blocks, 64), jnp.int32)])
@@ -612,9 +692,6 @@ class JpegEncoderSession:
         n_segments = (n_blocks + B - 1) // B
         pad_blocks = n_segments * B - n_blocks
         tail_count = n_blocks - (n_segments - 1) * B
-        quant = jnp.asarray(self.quant)
-        gather = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
-                  for t, d, nby, nbx in self.gather]
         comp_one = np.concatenate(
             [self.comp_idx, np.zeros(pad_blocks, np.int32)])
         comp_dev = jnp.asarray(np.tile(comp_one, F))
@@ -627,25 +704,10 @@ class JpegEncoderSession:
         prev_same_dev = jnp.asarray(prev_same)
         dcb, dcl, acb, acl = tpu_encode.device_encoder_tables(self.tables)
         dcb, dcl, acb, acl = map(jnp.asarray, (dcb, dcl, acb, acl))
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and datapath._on_tpu())
 
         @jax.jit
         def run(*planes_batched):
-            def one(*planes):
-                pixels = jnp.zeros((n_blocks, 8, 8), dtype=jnp.int32)
-                for plane, (take, dest, nby, nbx) in zip(planes, gather):
-                    blocks = _blocks_from_plane(
-                        plane.astype(jnp.int32), nby, nbx)
-                    pixels = pixels.at[dest].set(blocks[take])
-                return pixels
-
-            pixels = jax.vmap(one)(*planes_batched).reshape(-1, 8, 8)
-            qrep = jnp.tile(quant, (F, 1))
-            if use_pallas:
-                qc = datapath.encode_datapath_pallas(pixels, qrep)
-            else:
-                qc = datapath.encode_datapath_jnp(pixels, qrep)
+            qc = self._encode_qc_batch(planes_batched, F)
             qc = qc.reshape(F, n_blocks, 64)
             if pad_blocks:
                 qc_padded = jnp.concatenate(
@@ -670,7 +732,25 @@ class JpegEncoderSession:
         planes = [self.load_planes(f) for f in frames]
         stacked = [jnp.asarray(np.stack([p[i] for p in planes]))
                    for i in range(len(self.scans))]
-        q_batch = np.asarray(self._jit_batch(*stacked))
+        q_batch = None
+        f = len(frames)
+        if self._sparse:
+            from ..ops import sparse
+
+            cap = self._cap_per_block * self.n_blocks * f
+            fn = self._cached_jit(("q_sparse_batch", f, cap),
+                                  self._build_sparse_enc_batch_jit, f, cap)
+            mask, values, nnz = fn(*stacked)
+            nnz = int(nnz)
+            if nnz <= cap:
+                self._adapt_cap(nnz, f * self.n_blocks)
+                q_batch = sparse.unpack_host(
+                    np.asarray(mask), np.asarray(values), nnz,
+                    f * self.n_blocks).reshape(f, self.n_blocks, 64)
+            else:
+                self._cap_per_block = min(64, max(1, self._cap_per_block) * 2)
+        if q_batch is None:
+            q_batch = np.asarray(self._jit_batch(*stacked))
 
         def finish(qcoefs):
             if self.entropy == "tpu":
@@ -690,32 +770,21 @@ class JpegEncoderSession:
 
     @functools.cached_property
     def _jit_batch(self):
-        quant = jnp.asarray(self.quant)
-        gather = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
-                  for t, d, nby, nbx in self.gather]
-        n_blocks = self.n_blocks
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and datapath._on_tpu())
-
         @jax.jit
         def run(*planes_batched):  # each (F, H_s, W_s)
             f = planes_batched[0].shape[0]
+            qc = self._encode_qc_batch(planes_batched, f)
+            return qc.reshape(f, self.n_blocks, 64).astype(jnp.int16)
 
-            def one(*planes):
-                pixels = jnp.zeros((n_blocks, 8, 8), dtype=jnp.int32)
-                for plane, (take, dest, nby, nbx) in zip(planes, gather):
-                    blocks = _blocks_from_plane(
-                        plane.astype(jnp.int32), nby, nbx)
-                    pixels = pixels.at[dest].set(blocks[take])
-                return pixels
+        return run
 
-            pixels = jax.vmap(one)(*planes_batched).reshape(-1, 8, 8)
-            qrep = jnp.tile(quant, (f, 1))
-            if use_pallas:
-                qc = datapath.encode_datapath_pallas(pixels, qrep)
-            else:
-                qc = datapath.encode_datapath_jnp(pixels, qrep)
-            return qc.reshape(f, n_blocks, 64).astype(jnp.int16)
+    def _build_sparse_enc_batch_jit(self, f: int, cap: int):
+        from ..ops import sparse
+
+        @jax.jit
+        def run(*planes_batched):
+            return sparse.pack_device(
+                self._encode_qc_batch(planes_batched, f), cap)
 
         return run
 
