@@ -93,3 +93,30 @@ def test_session_reuse_mjpeg_steady_state(mini64_frames):
         Header.decode(r)
         out = dsess.decode(s[r.bit_pos >> 3:])
         assert frames_equal(out, mdec.decode_a_frame(s))
+
+
+def test_pipelined_iter_apis_match_sequential(mini64_frames):
+    """decode_iter/encode_iter (frames in flight on worker threads) must
+    produce exactly the sequential results, in order."""
+    from video_coding_tpu.common.bitstream import BitReader
+
+    f = mini64_frames[ChromaSubsampling.C420]
+    frames = [f] * 5
+    enc = engine.JpegEncoderSession(
+        menc.Parameters.c420(64, 64, 75), restart_interval=2)
+    streams = list(enc.encode_iter(frames, depth=3))
+    assert streams == [enc.encode(f)] * 5
+
+    bits = BitReader(streams[0])
+    header = mdec.Header.decode(bits)
+    dec = engine.JpegDecoderSession(header)
+    payloads = []
+    for s in streams:
+        b = BitReader(s)
+        mdec.Header.decode(b)
+        payloads.append(s[b.bit_pos >> 3:])
+    golden = mdec.decode_a_frame(streams[0])
+    for got in dec.decode_iter(payloads, depth=3):
+        for p in "yuv":
+            assert np.array_equal(getattr(got, p).data,
+                                  getattr(golden, p).data)

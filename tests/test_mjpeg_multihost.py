@@ -129,3 +129,21 @@ def test_scaling_benchmark_runs():
     import json
     lines = [json.loads(l) for l in r.stdout.strip().splitlines()]
     assert any(row["devices"] == 8 for row in lines)
+
+
+def test_mjpeg_stream_iter_matches_batch(mini64_frames):
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.tools import mjpeg
+
+    f = mini64_frames[ChromaSubsampling.C420]
+    frames = [f] * 4
+    stream = mjpeg.encode_stream(frames, 75, restart_interval=2)
+    parts = list(mjpeg.encode_stream_iter(frames, 75, restart_interval=2,
+                                          depth=3))
+    assert mjpeg.join_stream(parts) == stream
+    batch = mjpeg.decode_stream(stream)
+    for got, ref in zip(mjpeg.decode_stream_iter(stream, depth=3), batch,
+                        strict=True):
+        for p in "yuv":
+            assert np.array_equal(getattr(got, p).data,
+                                  getattr(ref, p).data)

@@ -33,6 +33,34 @@ from ..entropy.tables import pack_decoder_tables, pack_encoder_tables
 from ..ops import datapath
 
 
+def _pipelined_map(fn, items, depth: int):
+    """Ordered generator over ``fn(item)`` with up to ``depth`` items in
+    flight on worker threads. The per-frame work (C++ entropy, device
+    dispatch, device↔host transfers) all releases the GIL, so host entropy
+    of frame i+1 overlaps frame i's device numerics and downloads — the
+    double-buffered steady state of the reference's macro-pipeline
+    (scan_controller.ml:331-433), drawn at frame granularity."""
+    import concurrent.futures
+    from collections import deque
+
+    it = iter(items)
+    sentinel = object()
+    with concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, depth)) as pool:
+        q = deque()
+        for _ in range(max(1, depth)):
+            x = next(it, sentinel)
+            if x is sentinel:
+                break
+            q.append(pool.submit(fn, x))
+        while q:
+            fut = q.popleft()
+            x = next(it, sentinel)
+            if x is not sentinel:
+                q.append(pool.submit(fn, x))
+            yield fut.result()
+
+
 def _plane_from_blocks(pixels, idx, nby, nbx):
     """(N,8,8) block batch + per-plane schedule rows → (nby*8, nbx*8)."""
     blocks = pixels[idx].reshape(nby, nbx, 8, 8)
@@ -376,6 +404,14 @@ class JpegDecoderSession:
             self._to_frame([p[i] for p in planes_batched])
             for i in range(len(entropy_list))
         ]
+
+    def decode_iter(self, entropy_iter, depth: int = 2):
+        """Pipelined streaming decode: an ordered generator of Frames with
+        up to ``depth`` frames in flight — frame i+1's host entropy decode
+        overlaps frame i's device datapath and plane download. The
+        steady-state API for long MJPEG streams where decode_batch's
+        all-at-once latency/memory is unwanted."""
+        return _pipelined_map(self.decode, entropy_iter, depth)
 
     def _build_sparse_dec_batch_jit(self, f: int, cap: int):
         from ..ops import sparse
@@ -787,6 +823,13 @@ class JpegEncoderSession:
                 self._encode_qc_batch(planes_batched, f), cap)
 
         return run
+
+    def encode_iter(self, frames, depth: int = 2):
+        """Pipelined streaming encode: an ordered generator of JPEG byte
+        strings with up to ``depth`` frames in flight — frame i's host
+        entropy coding overlaps frame i+1's device quantization and
+        coefficient download."""
+        return _pipelined_map(self.encode, frames, depth)
 
     def _assemble(self, segments: list[bytes]) -> bytes:
         w = BitWriter()

@@ -104,3 +104,61 @@ def encode_stream(frames: list[Frame], quality: int = 75,
         session = JpegEncoderSession(maker(f0.width, f0.height, quality),
                                      restart_interval)
     return join_stream(session.encode_batch(frames))
+
+
+def decode_stream_iter(data: bytes, session=None, depth: int = 2):
+    """Streaming variant of decode_stream: an ordered Frame generator with
+    ``depth`` frames in flight (host entropy overlapping device numerics
+    via JpegDecoderSession.decode_iter) — constant memory over arbitrarily
+    long streams."""
+    from ..runtime.engine import JpegDecoderSession
+
+    def payloads():
+        nonlocal session
+        pos = 0
+        n = len(data)
+        while pos < n:
+            soi = data.find(b"\xff\xd8", pos)
+            if soi < 0:
+                break
+            end = _frame_end(data, soi)
+            fb = data[soi:end]
+            pos = end
+            bits = BitReader(fb)
+            h = Header.decode(bits)
+            if session is None:
+                session = JpegDecoderSession(h)
+            yield fb[bits.bit_pos >> 3:]
+
+    gen = payloads()
+    try:
+        first = next(gen)
+    except StopIteration:
+        return
+    import itertools
+    yield from session.decode_iter(itertools.chain([first], gen), depth)
+
+
+def encode_stream_iter(frames, quality: int = 75,
+                       restart_interval: int = 0, session=None,
+                       depth: int = 2):
+    """Streaming variant of encode_stream: yields one complete JPEG byte
+    string per input frame, ``depth`` frames in flight."""
+    from ..common.frame import ChromaSubsampling
+    from ..model.encoder import Parameters
+    from ..runtime.engine import JpegEncoderSession
+
+    it = iter(frames)
+    try:
+        f0 = next(it)
+    except StopIteration:
+        return
+    if session is None:
+        maker = {ChromaSubsampling.C420: Parameters.c420,
+                 ChromaSubsampling.C422: Parameters.c422,
+                 ChromaSubsampling.C444: Parameters.c444}[
+            f0.chroma_subsampling]
+        session = JpegEncoderSession(maker(f0.width, f0.height, quality),
+                                     restart_interval)
+    import itertools
+    yield from session.encode_iter(itertools.chain([f0], it), depth)
