@@ -130,6 +130,7 @@ def main() -> int:
     # ---- encode: device numerics + threaded host entropy ---------------
     iters = 6
     enc.encode(frame)
+    enc.encode(frame)  # second warmup: sparse-cap adaptation recompiles once
     t0 = time.perf_counter()
     for _ in range(iters):
         enc.encode(frame)

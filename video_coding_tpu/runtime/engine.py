@@ -590,11 +590,16 @@ class JpegEncoderSession:
         """Shrink the sparse value budget toward the observed density
         (power-of-two buckets, 2x headroom) — the padded value buffer is
         what actually crosses the interconnect, so an oversized cap wastes
-        the win. Growth happens only on overflow."""
+        the win. Growth happens only on overflow. The budget locks after
+        the first observation: content density is stable within a session,
+        and every cap change costs a jit recompile."""
+        if getattr(self, "_cap_locked", False):
+            return
         per_block = max(2, -(-2 * nnz // total_blocks))
         target = 1 << (per_block - 1).bit_length()
         if target < self._cap_per_block:
             self._cap_per_block = target
+        self._cap_locked = True
 
     def _build_sparse_enc_jit(self, cap: int):
         from ..ops import sparse
