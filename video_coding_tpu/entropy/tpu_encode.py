@@ -167,29 +167,39 @@ def _pack_gather(sym_hi, sym_lo, sym_len, M):
     overflow = jnp.any(raw_bytes_len > M)
 
     # compact away zero-length slots so consecutive symbols are ≥2 bits
-    # (except the final pad) and OVERLAP bounds the per-byte gather count
+    # (except the final pad) and OVERLAP bounds the per-byte gather count.
+    # Compaction and byte→symbol rank mapping are scatter+cumsum (a slot's
+    # destination is its rank), not per-slot binary searches — the
+    # scatters have unique (or few-colliding) indices and cost O(K+M) per
+    # segment instead of O((K+M)·log K) gather chains.
     nz = sym_len > 0
     rank = jnp.cumsum(nz, axis=1)          # 1-based rank among non-empty
     n_compact = rank[:, -1]
     K = sym_len.shape[1]
     r_idx = jnp.arange(K)
+    lane_col = jnp.arange(S)[:, None]
 
-    src = jnp.clip(_batched_searchsorted(rank, r_idx + 1, "left"), 0, K - 1)
+    comp_src = jnp.zeros((S, K), jnp.int32).at[
+        lane_col, jnp.where(nz, rank - 1, K)].set(
+        jnp.broadcast_to(r_idx[None, :], (S, K)), mode="drop")
 
     def compact(values):
-        return jnp.take_along_axis(values, src, axis=1)
+        return jnp.take_along_axis(values, comp_src, axis=1)
 
     c_hi = compact(sym_hi)
     c_lo = compact(sym_lo)
     c_end = compact(ends)
     c_off = compact(offs)
     c_valid_slot = r_idx[None, :] < n_compact[:, None]
-    # bytes beyond a row's symbol count must never match searches
-    big = jnp.int32(1 << 30)
-    c_end_search = jnp.where(c_valid_slot, c_end, big)
 
-    byte_bits = (jnp.arange(M) * 8)
-    a = _batched_searchsorted(c_end_search, byte_bits, "right")   # (S, M)
+    # a[b] = number of compact symbols ending at or before bit 8b — the
+    # index of the first symbol that can cover byte b. Count by scattering
+    # each symbol's end byte and prefix-summing over the byte grid.
+    byte_bits = jnp.arange(M) * 8
+    end_byte = (c_end + 7) >> 3
+    end_marks = jnp.zeros((S, M), jnp.int32).at[
+        lane_col, jnp.where(c_valid_slot, end_byte, M)].add(1, mode="drop")
+    a = jnp.cumsum(end_marks, axis=1)      # (S, M) inclusive → ends ≤ 8b
 
     acc = jnp.zeros((S, M), jnp.uint32)
     lane = jnp.arange(S)[:, None]
@@ -211,7 +221,8 @@ def _pack_gather(sym_hi, sym_lo, sym_len, M):
 
 def _stuff_gather(raw, raw_bytes_len, M_out):
     """0xFF→0xFF00 stuffing as a gather: output position o maps back to
-    its source byte via searchsorted over the monotone dest positions."""
+    its source byte via a rank count (scatter+cumsum) over the monotone
+    dest positions."""
     S, M = raw.shape
     byte_pos = jnp.arange(M)
     valid = byte_pos[None, :] < raw_bytes_len[:, None]
@@ -220,9 +231,14 @@ def _stuff_gather(raw, raw_bytes_len, M_out):
     dest = jnp.where(valid, byte_pos[None, :] + ff_before, 1 << 30)
     out_lens = raw_bytes_len + jnp.sum(is_ff, axis=1)
     overflow = jnp.any(out_lens > M_out)
-    out_pos = jnp.arange(M_out)
-    src = _batched_searchsorted(dest, out_pos, "left")
+    # src[o] = count of source bytes with dest < o (dest values are unique
+    # and monotone per row, out-of-range ones drop)
+    lane_col = jnp.arange(S)[:, None]
+    marks = jnp.zeros((S, M_out), jnp.int32).at[
+        lane_col, dest].add(1, mode="drop")
+    src = jnp.cumsum(marks, axis=1) - marks        # exclusive cumsum
     src_c = jnp.clip(src, 0, M - 1)
+    out_pos = jnp.arange(M_out)
     exact = jnp.take_along_axis(dest, src_c, axis=1) == out_pos[None, :]
     out = jnp.where(exact,
                     jnp.take_along_axis(raw, src_c, axis=1),
@@ -343,7 +359,7 @@ def encode_scan_tpu(qcoefs: np.ndarray, comp_idx: np.ndarray,
     # with a lean buffer and escalate on the (reported) overflow
     # fallback size covers the absolute worst case: ≤208 raw bytes/block,
     # ≤2x after stuffing — 512 B/block raw buffer → 640 B/block stuffed
-    for max_seg_bytes in (B * 128 + 64, B * 512 + 64):
+    for max_seg_bytes in (B * 24 + 64, B * 128 + 64, B * 512 + 64):
         out, lens, overflow = encode_segments_device(
             jnp.asarray(q), jnp.asarray(ci), jnp.asarray(prev_same),
             jnp.asarray(dc_bits), jnp.asarray(dc_len), jnp.asarray(ac_bits),

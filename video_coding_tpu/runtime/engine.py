@@ -80,16 +80,21 @@ class JpegDecoderSession:
     the Motion-JPEG steady state."""
 
     def __init__(self, header: Header, impl: str = "auto",
-                 entropy: str = "native", coef_transfer: str = "auto"):
+                 entropy: str = "native", coef_transfer: str = "auto",
+                 device_huffman: str = "range"):
         """entropy: 'native' (C++ threads), 'python' (fallback spec), or
         'tpu' (vectorized on-device Huffman loop, one segment per lane).
         coef_transfer: 'dense', 'sparse' (bitmask+values upload for the
         mixed host-entropy path — ~4-6x less interconnect traffic), or
-        'auto' (sparse on TPU, dense elsewhere)."""
+        'auto' (sparse on TPU, dense elsewhere).
+        device_huffman: codeword strategy of the on-device entropy loop —
+        'range' (canonical-range compares, tiny tables) or 'lut'
+        (flat 2^16 gather)."""
         self.header = header
         self.impl = impl
         self.entropy = entropy
         self.coef_transfer = coef_transfer
+        self.device_huffman = device_huffman
         # geometry via the golden model's component planner
         probe = Decoder(header, BitReader(b"\x00"))
         self.components = probe.components
@@ -285,14 +290,19 @@ class JpegDecoderSession:
         B = self.blocks_per_segment
         n_blocks = self.n_blocks
         comp_sched = jnp.asarray(self.comp_idx[:B])
-        dc_lut_np, ac_lut_np = tpu_decode.expand_luts(self.tables)
-        dc_lut = jnp.asarray(dc_lut_np)
-        ac_lut = jnp.asarray(ac_lut_np)
+        if self.device_huffman == "range":
+            lut_args = tuple(map(jnp.asarray,
+                                 tpu_decode.range_tables(self.tables)))
+            decode_fn = tpu_decode.decode_segments_device_range
+        else:
+            lut_args = tuple(map(jnp.asarray,
+                                 tpu_decode.expand_luts(self.tables)))
+            decode_fn = tpu_decode.decode_segments_device
 
         @jax.jit
         def run(segbytes, seg_blocks):
-            coefs3 = tpu_decode.decode_segments_device(
-                segbytes, seg_blocks, comp_sched, dc_lut, ac_lut,
+            coefs3 = decode_fn(
+                segbytes, seg_blocks, comp_sched, *lut_args,
                 blocks_per_segment=B)
             return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
 
@@ -337,14 +347,19 @@ class JpegDecoderSession:
         n_blocks = self.n_blocks
         n_seg = (n_blocks + B - 1) // B
         comp_sched = jnp.asarray(self.comp_idx[:B])
-        dc_lut_np, ac_lut_np = tpu_decode.expand_luts(self.tables)
-        dc_lut = jnp.asarray(dc_lut_np)
-        ac_lut = jnp.asarray(ac_lut_np)
+        if self.device_huffman == "range":
+            lut_args = tuple(map(jnp.asarray,
+                                 tpu_decode.range_tables(self.tables)))
+            decode_fn = tpu_decode.decode_segments_device_range
+        else:
+            lut_args = tuple(map(jnp.asarray,
+                                 tpu_decode.expand_luts(self.tables)))
+            decode_fn = tpu_decode.decode_segments_device
 
         @jax.jit
         def run(segbytes, seg_blocks):
-            coefs3 = tpu_decode.decode_segments_device(
-                segbytes, seg_blocks, comp_sched, dc_lut, ac_lut,
+            coefs3 = decode_fn(
+                segbytes, seg_blocks, comp_sched, *lut_args,
                 blocks_per_segment=B)
             coefs = coefs3.reshape(F, n_seg * B, 64)[:, :n_blocks, :]
             return self._decode_tail_batch(coefs.reshape(-1, 64), F)
@@ -610,14 +625,36 @@ class JpegEncoderSession:
 
         return run
 
+    # -- device entropy-encode buffer budget --------------------------------
+    def _enc_budget_ladder(self) -> tuple:
+        """Raw per-segment byte budgets to try for the device bitstream
+        packer, smallest first. The packer's cost scales with the buffer
+        size (every output byte does rank/gather work), so a worst-case
+        buffer wastes ~10-30x compute on typical content; start lean,
+        escalate on the reported overflow, and remember the observed size
+        (power-of-two bucket, locked — each budget is one compiled
+        graph)."""
+        B = self.blocks_per_segment
+        ladder = [B * 24 + 64, B * 128 + 64, B * 512 + 64]
+        start = getattr(self, "_seg_budget", None)
+        if start is not None:
+            ladder = [start] + [b for b in ladder if b > start]
+        return tuple(ladder)
+
+    def _record_seg_bytes(self, max_len: int) -> None:
+        if getattr(self, "_seg_budget_locked", False):
+            return
+        b = max(64, int(max_len) * 5 // 4 + 16)
+        self._seg_budget = 1 << (b - 1).bit_length()
+        self._seg_budget_locked = True
+
     # -- fully on-device encode (numerics + entropy fused in one jit) -----
     def encode_device(self, frame) -> bytes:
         """Planes → JPEG with the block numerics AND the entropy packing on
         device in one jit graph. Only planes go up and the packed segment
         bytes come back."""
         planes = self.load_planes(frame)
-        B = self.blocks_per_segment
-        for msb in (B * 128 + 64, B * 512 + 64):
+        for msb in self._enc_budget_ladder():
             out, lens, tail_q, overflow = self._device_e2e_enc_jit(msb)(
                 *[jnp.asarray(p) for p in planes])
             if not bool(overflow):
@@ -626,6 +663,7 @@ class JpegEncoderSession:
             raise ValueError("device entropy encode overflow")
         out = np.asarray(out)
         lens = np.asarray(lens)
+        self._record_seg_bytes(lens.max(initial=0))
         n_segments = out.shape[0]
         segments = [out[s, :lens[s]].tobytes() for s in range(n_segments)]
         B = self.blocks_per_segment
@@ -694,8 +732,7 @@ class JpegEncoderSession:
         stacked = [jnp.asarray(np.stack([p[i] for p in planes]))
                    for i in range(len(self.scans))]
         F = len(frames)
-        B = self.blocks_per_segment
-        for msb in (B * 128 + 64, B * 512 + 64):
+        for msb in self._enc_budget_ladder():
             out, lens, tails, overflow = self._device_e2e_enc_batch_jit(
                 F, msb)(*stacked)
             if not bool(overflow):
@@ -705,6 +742,7 @@ class JpegEncoderSession:
         out = np.asarray(out)
         lens = np.asarray(lens)
         tails = np.asarray(tails)
+        self._record_seg_bytes(lens.max(initial=0))
         B = self.blocks_per_segment
         n_seg = (self.n_blocks + B - 1) // B
         results = []
@@ -912,7 +950,7 @@ class JpegTranscodeSession:
             cleaned.append(p)
         enc = self.encoder
         B = enc.blocks_per_segment
-        for msb in (B * 128 + 64, B * 512 + 64):
+        for msb in enc._enc_budget_ladder():
             out, lens, tail_q, overflow = enc._device_e2e_enc_jit(msb)(
                 *cleaned)
             if not bool(overflow):
@@ -921,6 +959,7 @@ class JpegTranscodeSession:
             raise ValueError("device entropy encode overflow")
         out = np.asarray(out)
         lens = np.asarray(lens)
+        enc._record_seg_bytes(lens.max(initial=0))
         n_segments = out.shape[0]
         segments = [out[s, :lens[s]].tobytes() for s in range(n_segments)]
         if enc.n_blocks % B:
