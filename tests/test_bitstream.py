@@ -77,9 +77,15 @@ def test_reader_reads_zero_past_end():
 
 
 def test_reader_out_of_bounds_raises():
+    # reads that *start* inside the buffer zero-fill past the end (the
+    # reference decoder relies on this, bitstream_reader.ml:19-22 — and
+    # one-byte restart segments must peek 16 bits)
     r = BitReader(b"\x01")
+    assert r.show(8) == 0x01
+    assert r.show(16) == 0x0100  # zero-filled tail
+    r.advance(8)
     with pytest.raises(ValueError):
-        r.show(8)  # 8 >= 8 total bits, mirrors reference guard
+        r.show(1)  # cursor past the end: truncated-stream guard
 
 
 def test_align_to_byte():

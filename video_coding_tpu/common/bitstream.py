@@ -38,7 +38,7 @@ class BitReader:
         instead zero-fills forever (its width-only guard at
         bitstream_reader.ml:32), which turns truncated headers into an
         infinite marker-scan loop — raising is the strict improvement."""
-        if n >= self.length_in_bits or self.bit_pos >= self.length_in_bits:
+        if self.bit_pos >= self.length_in_bits:
             raise ValueError("BitReader out of bounds")
         if n == 0:
             return 0

@@ -84,36 +84,46 @@ def _decode_blocks_from_bits(bits: BitReader, comp_idx: np.ndarray,
                              bit_limit: int | None = None) -> None:
     dc_preds = [0] * len(tables.dc_luts)
     for i in range(first, first + count):
-        c = int(comp_idx[i])
-        dc_tab = tables.dc_luts[c]
-        ac_tab = tables.ac_luts[c]
-        row = coefs[i]
-        length, data = dc_tab.lookup(bits.show(dc_tab.max_bits))
-        if length == 0:
-            raise SegmentDecodeError(i)
-        bits.advance(length)
-        dc_preds[c] += mag(data, bits.get(data) if data else 0)
-        row[0] = dc_preds[c]
-        cof = 1
-        while cof < 64:
-            length, data = ac_tab.lookup(bits.show(ac_tab.max_bits))
-            if length == 0:
-                raise SegmentDecodeError(i)
-            bits.advance(length)
-            run, size = (data >> 4) & 0xF, data & 0xF
-            val = mag(size, bits.get(size) if size else 0)
-            if val == 0 and run == 0:
-                break
-            cof += run
-            if cof >= 64:
-                raise SegmentDecodeError(i)
-            row[cof] = val
-            cof += 1
+        try:
+            _decode_one_block(bits, comp_idx, i, tables, coefs, dc_preds)
+        except SegmentDecodeError:
+            raise
+        except ValueError:
+            # reader exhausted (cursor past end): decode error at block i
+            raise SegmentDecodeError(i) from None
         # consuming past the segment's real bits means the block decoded
         # zero-fill garbage (truncated data) — an error, checked after
         # each block to match the native engine and the golden model
         if bit_limit is not None and bits.bit_pos > bit_limit:
             raise SegmentDecodeError(i)
+
+
+def _decode_one_block(bits, comp_idx, i, tables, coefs, dc_preds):
+    c = int(comp_idx[i])
+    dc_tab = tables.dc_luts[c]
+    ac_tab = tables.ac_luts[c]
+    row = coefs[i]
+    length, data = dc_tab.lookup(bits.show(dc_tab.max_bits))
+    if length == 0:
+        raise SegmentDecodeError(i)
+    bits.advance(length)
+    dc_preds[c] += mag(data, bits.get(data) if data else 0)
+    row[0] = dc_preds[c]
+    cof = 1
+    while cof < 64:
+        length, data = ac_tab.lookup(bits.show(ac_tab.max_bits))
+        if length == 0:
+            raise SegmentDecodeError(i)
+        bits.advance(length)
+        run, size = (data >> 4) & 0xF, data & 0xF
+        val = mag(size, bits.get(size) if size else 0)
+        if val == 0 and run == 0:
+            break
+        cof += run
+        if cof >= 64:
+            raise SegmentDecodeError(i)
+        row[cof] = val
+        cof += 1
 
 
 def _native_decode(lib, segments, comp_idx, n_blocks, blocks_per_segment,

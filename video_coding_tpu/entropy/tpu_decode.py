@@ -46,6 +46,45 @@ def expand_luts(tables: DecoderTables) -> tuple[np.ndarray, np.ndarray]:
     return dc.astype(np.int32), ac.astype(np.int32)
 
 
+def range_tables(tables: DecoderTables, pad_values: int = 256
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical-range decode tables — the TPU analog of the reference's
+    16 parallel length-hypothesis matchers (codeword_decoder.ml:31-76),
+    but as branch-free vector compares instead of a 2^16 LUT gather.
+
+    Canonical Huffman codes of each length occupy one contiguous range of
+    the 16-bit peek window, and the ranges are disjoint across lengths, so
+    a peeked window matches exactly one (or zero) length. Returns, with
+    row t = component c's DC table (t=c) or AC table (t=C+c):
+      lo, hi:  (T, 16) int32 — window-domain range [lo, hi) of length l+1
+               (empty ranges have lo=hi=0)
+      offset:  (T, 16) int32 — index of length l+1's first code's data
+      values:  (T, pad_values) int32 — decoded data in canonical order
+               (DC: size category; AC: (run<<4)|size)
+    """
+    luts = list(tables.dc_luts) + list(tables.ac_luts)
+    T = len(luts)
+    lo = np.zeros((T, 16), np.int32)
+    hi = np.zeros((T, 16), np.int32)
+    offset = np.zeros((T, 16), np.int32)
+    values = np.zeros((T, pad_values), np.int32)
+    for t, lut in enumerate(luts):
+        mb = lut.max_bits
+        vpos = 0
+        for l in range(1, 17):
+            idxs = np.flatnonzero(lut.lengths == l)
+            if idxs.size == 0:
+                continue
+            codes = np.unique(idxs >> (mb - l))
+            lo[t, l - 1] = codes[0] << (16 - l)
+            hi[t, l - 1] = int(codes[-1] + 1) << (16 - l)
+            offset[t, l - 1] = vpos
+            for c in codes:
+                values[t, vpos] = lut.data[int(c) << (mb - l)]
+                vpos += 1
+    return lo, hi, offset, values
+
+
 def pack_segments(segments: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Pad segments into an (S, L) uint8 matrix (+4 guard bytes) and
     return it with per-segment byte lengths."""
@@ -57,28 +96,14 @@ def pack_segments(segments: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
-@functools.partial(jax.jit, static_argnames=("blocks_per_segment",))
-def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
-                           comp_sched: jax.Array, dc_lut: jax.Array,
-                           ac_lut: jax.Array, *,
-                           blocks_per_segment: int) -> jax.Array:
-    """Decode all segments in parallel on device.
-
-    segbytes:   (S, L) uint8 destuffed segment bytes (zero padded).
-    seg_blocks: (S,) int32 blocks in each segment (last may be short).
-    comp_sched: (blocks_per_segment,) int32 scan-component index of each
-                block position within a segment.
-    dc_lut/ac_lut: (C, 65536) int32 expanded LUTs.
-    Returns (S, blocks_per_segment, 64) int32 zigzag coefficients with DC
-    prediction resolved per segment.
-    """
+def _decode_loop(segbytes, seg_blocks, comp_sched, blocks_per_segment,
+                 n_components, codeword_lookup):
+    """Shared vectorized Huffman decode loop; ``codeword_lookup(t, w16)``
+    (t = comp + C·in_ac) supplies the codeword decode strategy."""
     S, L = segbytes.shape
     B = blocks_per_segment
-    C = dc_lut.shape[0]
+    C = n_components
     lane = jnp.arange(S)
-    # one fused table: rows [0,C) = DC, rows [C,2C) = AC → a single gather
-    # per iteration instead of two
-    luts = jnp.concatenate([dc_lut, ac_lut], axis=0)
     # precomputed 32-bit big-endian windows: one gather per peek instead
     # of three byte gathers (pack_segments provides ≥4 guard bytes)
     segu = segbytes.astype(jnp.uint32)
@@ -102,9 +127,7 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
         active = blk < seg_blocks
         comp = comp_sched[jnp.clip(blk, 0, B - 1)]
         w16 = peek(bitpos)
-        entry = luts[comp + jnp.where(in_ac, C, 0), w16]
-        code_len = entry >> 16
-        data = entry & 0xFFFF
+        code_len, data = codeword_lookup(comp + jnp.where(in_ac, C, 0), w16)
         run = jnp.where(in_ac, (data >> 4) & 0xF, 0)
         cat = jnp.where(in_ac, data & 0xF, data)
         # magnitude bits follow the codeword
@@ -182,11 +205,72 @@ def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
     return final[6][:, :B, :]
 
 
+@functools.partial(jax.jit, static_argnames=("blocks_per_segment",))
+def decode_segments_device(segbytes: jax.Array, seg_blocks: jax.Array,
+                           comp_sched: jax.Array, dc_lut: jax.Array,
+                           ac_lut: jax.Array, *,
+                           blocks_per_segment: int) -> jax.Array:
+    """Decode all segments in parallel on device (flat-LUT codewords).
+
+    segbytes:   (S, L) uint8 destuffed segment bytes (zero padded).
+    seg_blocks: (S,) int32 blocks in each segment (last may be short).
+    comp_sched: (blocks_per_segment,) int32 scan-component index of each
+                block position within a segment.
+    dc_lut/ac_lut: (C, 65536) int32 expanded LUTs.
+    Returns (S, blocks_per_segment, 64) int32 zigzag coefficients with DC
+    prediction resolved per segment.
+    """
+    C = dc_lut.shape[0]
+    # one fused table: rows [0,C) = DC, rows [C,2C) = AC → a single gather
+    # per iteration instead of two
+    luts = jnp.concatenate([dc_lut, ac_lut], axis=0)
+
+    def lookup(t, w16):
+        entry = luts[t, w16]
+        return entry >> 16, entry & 0xFFFF
+
+    return _decode_loop(segbytes, seg_blocks, comp_sched,
+                        blocks_per_segment, C, lookup)
+
+
+@functools.partial(jax.jit, static_argnames=("blocks_per_segment",))
+def decode_segments_device_range(segbytes: jax.Array, seg_blocks: jax.Array,
+                                 comp_sched: jax.Array, lo: jax.Array,
+                                 hi: jax.Array, offset: jax.Array,
+                                 values: jax.Array, *,
+                                 blocks_per_segment: int) -> jax.Array:
+    """Decode all segments in parallel on device, resolving codewords by
+    canonical-range compares (range_tables) instead of a 2^16 LUT gather:
+    16 branch-free window-range tests (pure VPU) + one gather into the
+    ~1 KB per-table values array. Same contract and bit-identical output
+    as decode_segments_device on valid streams; the memory-friendly
+    formulation for TPUs, where the flat LUT's 1.5 MB random gather per
+    symbol is the bottleneck."""
+    C = lo.shape[0] // 2
+    lens16 = jnp.arange(1, 17, dtype=jnp.int32)
+
+    def lookup(t, w16):
+        lo_t, hi_t, off_t = lo[t], hi[t], offset[t]       # (S,16) each
+        w = w16[:, None]
+        valid = (w >= lo_t) & (w < hi_t)                  # one-hot over l
+        code_len = jnp.sum(jnp.where(valid, lens16, 0), axis=1)
+        lo_sel = jnp.sum(jnp.where(valid, lo_t, 0), axis=1)
+        off_sel = jnp.sum(jnp.where(valid, off_t, 0), axis=1)
+        shift = 16 - jnp.maximum(code_len, 1)
+        idx = off_sel + ((w16 - lo_sel) >> shift)
+        data = values[t, jnp.clip(idx, 0, values.shape[1] - 1)]
+        return code_len, jnp.where(code_len > 0, data, 0)
+
+    return _decode_loop(segbytes, seg_blocks, comp_sched,
+                        blocks_per_segment, C, lookup)
+
+
 def decode_scan_tpu(segments: list[bytes], comp_idx: np.ndarray,
-                    blocks_per_segment: int,
-                    tables: DecoderTables) -> np.ndarray:
+                    blocks_per_segment: int, tables: DecoderTables,
+                    mode: str = "lut") -> np.ndarray:
     """Drop-in alternative to entropy.scan.decode_scan running the Huffman
-    loop on device. Returns (n_blocks, 64) int32 coefficients."""
+    loop on device ('lut' or 'range' codeword strategy). Returns
+    (n_blocks, 64) int32 coefficients."""
     n_blocks = len(comp_idx)
     segbytes, _lens = pack_segments(segments)
     S = len(segments)
@@ -194,9 +278,18 @@ def decode_scan_tpu(segments: list[bytes], comp_idx: np.ndarray,
     if n_blocks % blocks_per_segment:
         seg_blocks[-1] = n_blocks % blocks_per_segment
     comp_sched = np.asarray(comp_idx[:blocks_per_segment], dtype=np.int32)
-    dc_lut, ac_lut = expand_luts(tables)
-    out = decode_segments_device(
-        jnp.asarray(segbytes), jnp.asarray(seg_blocks),
-        jnp.asarray(comp_sched), jnp.asarray(dc_lut), jnp.asarray(ac_lut),
-        blocks_per_segment=blocks_per_segment)
+    if mode == "range":
+        lo, hi, off, values = range_tables(tables)
+        out = decode_segments_device_range(
+            jnp.asarray(segbytes), jnp.asarray(seg_blocks),
+            jnp.asarray(comp_sched), jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(off), jnp.asarray(values),
+            blocks_per_segment=blocks_per_segment)
+    else:
+        dc_lut, ac_lut = expand_luts(tables)
+        out = decode_segments_device(
+            jnp.asarray(segbytes), jnp.asarray(seg_blocks),
+            jnp.asarray(comp_sched), jnp.asarray(dc_lut),
+            jnp.asarray(ac_lut),
+            blocks_per_segment=blocks_per_segment)
     return np.asarray(out).reshape(S * blocks_per_segment, 64)[:n_blocks]

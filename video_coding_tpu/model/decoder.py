@@ -83,6 +83,43 @@ class Header:
             else:
                 raise DecodeError(f"unsupported marker code 0x{code:02x}")
 
+    def decode_next_scan(self, bits: BitReader) -> bool:
+        """Resume the marker loop after a scan's entropy data (``bits``
+        positioned at the terminating marker's 0xFF): table segments
+        update this header, the next SOS replaces ``self.scan`` and
+        returns True, EOI returns False. The hook for non-interleaved
+        (multi-scan) streams — beyond the reference's scope
+        (jpeg/README.md:15-45 lists non-interleaved as unsupported)."""
+        try:
+            while True:
+                bits.align_to_byte()
+                while bits.get(8) != 0xFF:
+                    pass
+                code = bits.get(8)
+                if code == 0xFF:  # fill byte
+                    bits.advance(-8)
+                    continue
+                if code == marker_codes.EOI:
+                    return False
+                if code == marker_codes.SOS:
+                    self.scan = markers.Sos.decode(bits)
+                    return True
+                if code == marker_codes.DQT:
+                    self.quant_tables.extend(markers.Dqt.decode_segment(bits))
+                elif code == marker_codes.DHT:
+                    self.huffman_tables.extend(
+                        markers.Dht.decode_segment(bits))
+                elif code == marker_codes.DRI:
+                    self.restart_interval = markers.Dri.decode(bits)
+                elif marker_codes.is_app(code) or code == marker_codes.COM:
+                    length = bits.show(16)
+                    bits.advance(length * 8)
+                else:
+                    raise DecodeError(
+                        f"unsupported marker code 0x{code:02x} between scans")
+        except ValueError as e:
+            raise DecodeError(f"truncated stream between scans: {e}") from e
+
 
 def mag(cat: int, code: int) -> int:
     """Magnitude (sign-extension) decode of a size-``cat`` value
@@ -94,21 +131,25 @@ def mag(cat: int, code: int) -> int:
     return (code | (-1 << cat)) + 1
 
 
-def extract_entropy_segments_with_markers(
-        bits: BitReader) -> tuple[list[bytes], list[int]]:
+def extract_entropy_segments_span(
+        bits: BitReader) -> tuple[list[bytes], list[int], int]:
     """De-stuff the entropy-coded data, splitting at RSTn markers.
 
     Generalizes decoder.ml:261-281 extract_entropy_coded_bits: 0xFF00 →
     0xFF; RST0-7 ends the current segment and starts the next; any other
     marker terminates the scan. Also returns the RSTn modulo-8 index of
     each segment terminator (len = len(segments) - 1) — the standard's
-    hook for re-aligning segments after marker loss (resync)."""
+    hook for re-aligning segments after marker loss (resync) — and the
+    byte offset of the terminating marker's 0xFF (== len(buf) when the
+    scan runs to the end), so multi-scan decoding can resume the marker
+    loop there."""
     buf = bits.buffer
     pos = bits.bit_pos >> 3
     segments: list[bytes] = []
     marker_indices: list[int] = []
     out = bytearray()
     n = len(buf)
+    end = n
     while True:
         # Fast scan to the next 0xFF.
         nxt = buf.find(b"\xff", pos)
@@ -129,13 +170,20 @@ def extract_entropy_segments_with_markers(
             # Fill bytes before a marker are legal; keep scanning.
             pos = nxt + 1
         else:
+            end = nxt
             break
     segments.append(bytes(out))
+    return segments, marker_indices, end
+
+
+def extract_entropy_segments_with_markers(
+        bits: BitReader) -> tuple[list[bytes], list[int]]:
+    segments, marker_indices, _end = extract_entropy_segments_span(bits)
     return segments, marker_indices
 
 
 def extract_entropy_segments(bits: BitReader) -> list[bytes]:
-    return extract_entropy_segments_with_markers(bits)[0]
+    return extract_entropy_segments_span(bits)[0]
 
 
 def plan_segment_alignment(marker_indices: list[int], n_received: int,
@@ -244,6 +292,46 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
+def huffman_decode_block(bits: BitReader, dc_tab: Lut, ac_tab: Lut,
+                         coefs: np.ndarray) -> None:
+    """One 8x8 block of Huffman + magnitude decode into zigzag-order
+    ``coefs`` (decoder.ml:118-140). Exhausting the reader (cursor past
+    the end — reads *starting* inside zero-fill, like the native tiers)
+    is a DecodeError."""
+    try:
+        _huffman_decode_block_inner(bits, dc_tab, ac_tab, coefs)
+    except DecodeError:
+        raise
+    except ValueError as e:
+        raise DecodeError(f"entropy data exhausted: {e}") from e
+
+
+def _huffman_decode_block_inner(bits: BitReader, dc_tab: Lut, ac_tab: Lut,
+                                coefs: np.ndarray) -> None:
+    length, data = dc_tab.lookup(bits.show(dc_tab.max_bits))
+    if length == 0:
+        raise DecodeError("Can't find dc code")
+    bits.advance(length)
+    coefs[0] = mag(data, bits.get(data) if data else 0)
+    cof_cnt = 1
+    ac_max = ac_tab.max_bits
+    while cof_cnt < 64:
+        length, data = ac_tab.lookup(bits.show(ac_max))
+        if length == 0:
+            raise DecodeError("Can't find ac code")
+        bits.advance(length)
+        run, size = (data >> 4) & 0xF, data & 0xF
+        value = mag(size, bits.get(size) if size else 0)
+        if value == 0 and run == 0:
+            break  # EOB
+        cof_cnt += run
+        if cof_cnt >= 64:
+            raise DecodeError(
+                f"coefficient index out of range: {cof_cnt}")
+        coefs[cof_cnt] = value
+        cof_cnt += 1
+
+
 class Decoder:
     """Full-frame decoder (decoder.ml init/decode/get_yuv_frame)."""
 
@@ -316,31 +404,7 @@ class Decoder:
     # -- entropy ----------------------------------------------------------
     def _huffman_decode_block(self, bits: BitReader, comp: Component,
                               coefs: np.ndarray) -> None:
-        """One 8x8 block of Huffman + magnitude decode into zigzag-order
-        ``coefs`` (decoder.ml:118-140)."""
-        dc_tab, ac_tab = comp.dc_tab, comp.ac_tab
-        length, data = dc_tab.lookup(bits.show(dc_tab.max_bits))
-        if length == 0:
-            raise DecodeError("Can't find dc code")
-        bits.advance(length)
-        coefs[0] = mag(data, bits.get(data) if data else 0)
-        cof_cnt = 1
-        ac_max = ac_tab.max_bits
-        while cof_cnt < 64:
-            length, data = ac_tab.lookup(bits.show(ac_max))
-            if length == 0:
-                raise DecodeError("Can't find ac code")
-            bits.advance(length)
-            run, size = (data >> 4) & 0xF, data & 0xF
-            value = mag(size, bits.get(size) if size else 0)
-            if value == 0 and run == 0:
-                break  # EOB
-            cof_cnt += run
-            if cof_cnt >= 64:
-                raise DecodeError(
-                    f"coefficient index out of range: {cof_cnt}")
-            coefs[cof_cnt] = value
-            cof_cnt += 1
+        huffman_decode_block(bits, comp.dc_tab, comp.ac_tab, coefs)
 
     def decode_entropy(self, resync: bool = False) -> np.ndarray:
         """Sequential entropy decode of the whole scan.
@@ -492,10 +556,163 @@ class Decoder:
         return Frame.of_planes(planes[0], planes[1], planes[2])
 
 
+class MultiScanDecoder:
+    """General baseline decoder for multi-scan streams — non-interleaved
+    (one component per SOS) or mixed. A capability beyond the reference's
+    scope (jpeg/README.md:15-45 lists non-interleaved scans as
+    unsupported).
+
+    Per T.81: each frame component appears in exactly one scan; a scan
+    with Ns>1 is interleaved in MCU order over the frame grid, a scan
+    with Ns=1 rasters over ceil(xi/8) × ceil(yi/8) blocks of that
+    component alone (A.2.2, with xi = ceil(X·Hi/Hmax)); DRI applies per
+    scan with the restart interval counted in that scan's MCUs, and
+    tables may be (re)defined between scans."""
+
+    def __init__(self, header: Header, bits: BitReader):
+        frame = header.frame
+        if frame is None or header.scan is None:
+            raise DecodeError("missing start of frame or start of scan")
+        self.header = header
+        self.bits = bits
+        self.max_h = max(c.horizontal_sampling_factor
+                         for c in frame.components)
+        self.max_v = max(c.vertical_sampling_factor
+                         for c in frame.components)
+        self.rounded_w = _round_up(frame.width, self.max_h * 8)
+        self.rounded_h = _round_up(frame.height, self.max_v * 8)
+        self.planes: dict[int, Plane] = {}
+        self.actual_dims: dict[int, tuple[int, int]] = {}
+        for comp in frame.components:
+            dw = self.rounded_w * comp.horizontal_sampling_factor // self.max_h
+            dh = self.rounded_h * comp.vertical_sampling_factor // self.max_v
+            # T.81 A.1.1: xi = ceil(X·Hi/Hmax)
+            aw = -(-frame.width * comp.horizontal_sampling_factor
+                   // self.max_h)
+            ah = -(-frame.height * comp.vertical_sampling_factor
+                   // self.max_v)
+            self.planes[comp.identifier] = Plane(dw, dh)
+            self.actual_dims[comp.identifier] = (aw, ah)
+        self.decoded_components: list[int] = []
+
+    def _scan_schedule(self, scan: markers.Sos
+                       ) -> tuple[list[tuple[int, int, int]], int]:
+        """Coded-order [(identifier, x, y)] plus blocks per MCU."""
+        frame = self.header.frame
+        if len(scan.scan_components) > 1:
+            comps = [_find_component(sc, frame)
+                     for sc in scan.scan_components]
+            mcus_w = self.rounded_w // (8 * self.max_h)
+            mcus_h = self.rounded_h // (8 * self.max_v)
+            sched = []
+            for my in range(mcus_h):
+                for mx in range(mcus_w):
+                    for comp in comps:
+                        hs = comp.horizontal_sampling_factor
+                        vs = comp.vertical_sampling_factor
+                        for v in range(vs):
+                            for h in range(hs):
+                                sched.append((comp.identifier,
+                                              (mx * hs + h) * 8,
+                                              (my * vs + v) * 8))
+            return sched, sum(c.horizontal_sampling_factor
+                              * c.vertical_sampling_factor for c in comps)
+        comp = _find_component(scan.scan_components[0], frame)
+        aw, ah = self.actual_dims[comp.identifier]
+        bw, bh = -(-aw // 8), -(-ah // 8)
+        sched = [(comp.identifier, bx * 8, by * 8)
+                 for by in range(bh) for bx in range(bw)]
+        return sched, 1
+
+    def _decode_scan(self) -> None:
+        header = self.header
+        scan = header.scan
+        sched, mcu_blocks = self._scan_schedule(scan)
+        tabs: dict[int, tuple] = {}
+        for sc in scan.scan_components:
+            comp = _find_component(sc, header.frame)
+            tabs[sc.selector] = (
+                _find_quant_table(header.quant_tables,
+                                  comp.quantization_table_identifier),
+                _find_huffman_lut(header.huffman_tables, 0,
+                                  sc.dc_coef_selector, ac=False),
+                _find_huffman_lut(header.huffman_tables, 1,
+                                  sc.ac_coef_selector, ac=True),
+            )
+            self.decoded_components.append(sc.selector)
+        segments, _marks, end = extract_entropy_segments_span(self.bits)
+        self.bits.bit_pos = end * 8  # resume the marker loop here
+        ri = (header.restart_interval.restart_interval
+              if header.restart_interval else 0)
+        bps = ri * mcu_blocks if ri else len(sched)
+        coefs = np.zeros((len(sched), 64), dtype=np.int32)
+        seg = 0
+        rdr = BitReader(segments[0])
+        dc_preds = {ident: 0 for ident in tabs}
+        for i, (ident, _x, _y) in enumerate(sched):
+            if i and i % bps == 0:
+                seg += 1
+                if seg >= len(segments):
+                    raise DecodeError(f"missing restart segment {seg}")
+                rdr = BitReader(segments[seg])
+                dc_preds = {k: 0 for k in dc_preds}
+            quant, dc_tab, ac_tab = tabs[ident]
+            row = coefs[i]
+            huffman_decode_block(rdr, dc_tab, ac_tab, row)
+            dc_preds[ident] += int(row[0])
+            row[0] = dc_preds[ident]
+        # batched dequant → dezigzag → IDCT → recon (same numerics contract
+        # as Decoder.reconstruct)
+        qarr = np.stack([tabs[ident][0] for ident, _x, _y in sched])
+        dequant_zz = coefs.astype(np.int64) * qarr
+        dequant = np.zeros_like(dequant_zz)
+        dequant[:, ZIGZAG_INVERSE] = dequant_zz
+        idct = chen_inverse_8x8(dequant.reshape(-1, 8, 8))
+        recon = (np.clip(idct, -128, 127) + 128).astype(np.uint8)
+        for i, (ident, x, y) in enumerate(sched):
+            self.planes[ident].data[y:y + 8, x:x + 8] = recon[i]
+
+    def decode(self) -> None:
+        while True:
+            self._decode_scan()
+            if not self.header.decode_next_scan(self.bits):
+                break
+        missing = [c.identifier for c in self.header.frame.components
+                   if c.identifier not in self.decoded_components]
+        if missing:
+            raise DecodeError(f"components never scanned: {missing}")
+
+    def get_planes(self) -> list[Plane]:
+        out = []
+        for comp in self.header.frame.components:
+            p = self.planes[comp.identifier]
+            aw, ah = self.actual_dims[comp.identifier]
+            if (p.width, p.height) != (aw, ah):
+                cropped = Plane(aw, ah)
+                p.blit_available(cropped)
+                p = cropped
+            out.append(p)
+        return out
+
+    def get_yuv_frame(self) -> Frame:
+        planes = self.get_planes()
+        if len(planes) != 3:
+            raise DecodeError("YUV frame needs 3 components")
+        return Frame.of_planes(planes[0], planes[1], planes[2])
+
+
 def decode_a_frame(data: bytes) -> Frame:
-    """One-shot full decode (decoder.ml:422-427)."""
+    """One-shot full decode (decoder.ml:422-427). Streams whose first
+    scan covers only part of the frame's components (non-interleaved /
+    multi-scan) route to MultiScanDecoder."""
     bits = BitReader(data)
     header = Header.decode(bits)
+    if (header.frame is not None and header.scan is not None
+            and len(header.scan.scan_components)
+            < len(header.frame.components)):
+        mdec = MultiScanDecoder(header, bits)
+        mdec.decode()
+        return mdec.get_yuv_frame()
     dec = Decoder(header, bits)
     dec.decode()
     return dec.get_yuv_frame()

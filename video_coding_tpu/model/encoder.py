@@ -152,11 +152,16 @@ class Encoder:
 
     def __init__(self, params: Parameters, writer: BitWriter | None = None,
                  *, compute_reconstruction_error: bool = False,
-                 restart_interval: int = 0):
+                 restart_interval: int = 0, interleaved: bool = True):
+        """``interleaved=False`` emits one single-component SOS per
+        component (T.81 non-interleaved scans, each rastering its own
+        ceil(xi/8)×ceil(yi/8) block grid) — a capability the reference
+        lists as unsupported (jpeg/README.md:15-45)."""
         self.params = params
         self.writer = writer if writer is not None else BitWriter()
         self.compute_reconstruction_error = compute_reconstruction_error
         self.restart_interval = restart_interval
+        self.interleaved = interleaved
         dc_tables = [Identified(t.identifier, encoder_dc_table(t.data))
                      for t in params.dc_huffman_tables]
         ac_tables = [Identified(t.identifier, encoder_ac_table(t.data))
@@ -271,21 +276,25 @@ class Encoder:
             self._write_marker(marker_codes.DHT)
             markers.Dht(0, 1, t.identifier, list(t.data.lengths),
                         list(t.data.values)).encode(w)
+        if self.interleaved:
+            self._write_sos(p.scan_components)
+
+    def _write_sos(self, scan_components) -> None:
         self._write_marker(marker_codes.SOS)
         markers.Sos(
             length=0,
-            number_of_image_components=len(p.scan_components),
+            number_of_image_components=len(scan_components),
             scan_components=[
                 markers.ScanComponent(
                     selector=sc.component,
                     dc_coef_selector=sc.dc_huffman_table,
                     ac_coef_selector=sc.ac_huffman_table)
-                for sc in p.scan_components],
+                for sc in scan_components],
             start_of_predictor_selection=0,
             end_of_predictor_selection=63,
             successive_approximation_bit_high=0,
             successive_approximation_bit_low=0,
-        ).encode(w)
+        ).encode(self.writer)
 
     # -- numerics (batched) -----------------------------------------------
     def quantized_blocks(self) -> np.ndarray:
@@ -343,8 +352,52 @@ class Encoder:
         if last_nz < 63:
             write_code(ac_table[0][0], 0, 0)  # EOB
 
+    # -- non-interleaved (one scan per component) ---------------------------
+    def _noninterleaved_schedule(self, si: int) -> list[tuple[int, int]]:
+        """Raster block (x, y) positions of component ``si``'s own scan:
+        ceil(xi/8) × ceil(yi/8) blocks over its ceil-scaled dims (T.81
+        A.2.2)."""
+        p = self.params
+        max_h = max(sc.horizontal_sampling_factor
+                    for sc in p.scan_components)
+        max_v = max(sc.vertical_sampling_factor
+                    for sc in p.scan_components)
+        sc = p.scan_components[si]
+        aw = -(-p.width * sc.horizontal_sampling_factor // max_h)
+        ah = -(-p.height * sc.vertical_sampling_factor // max_v)
+        bw, bh = -(-aw // 8), -(-ah // 8)
+        return [(bx * 8, by * 8) for by in range(bh) for bx in range(bw)]
+
+    def _encode_noninterleaved(self) -> None:
+        for si, (scan, sc) in enumerate(zip(self.scans,
+                                            self.params.scan_components)):
+            self._write_sos([sc])
+            sched = self._noninterleaved_schedule(si)
+            pixels = np.empty((len(sched), 8, 8), dtype=np.int64)
+            for i, (x, y) in enumerate(sched):
+                pixels[i] = scan.plane.data[y:y + 8, x:x + 8]
+            fdct = chen_forward_8x8(pixels - 128).reshape(len(sched), 64)
+            qall = quant_and_scale(fdct[:, ZIGZAG_INVERSE],
+                                   np.broadcast_to(scan.quant_table,
+                                                   (len(sched), 64)))
+            scan.dc_pred = 0
+            rst_n = 0
+            for i, _xy in enumerate(sched):
+                if (self.restart_interval and i > 0
+                        and i % self.restart_interval == 0):
+                    self.writer.flush_with_1s(stuffing=True)
+                    self._write_marker(marker_codes.RST0 + rst_n)
+                    rst_n = (rst_n + 1) & 7
+                    scan.dc_pred = 0
+                self._write_block(scan, qall[i])
+            # byte-align before the next SOS / EOI marker
+            self.writer.flush_with_1s(stuffing=True)
+
     def encode(self) -> None:
         """Entropy-encode the whole image (headers must be written first)."""
+        if not self.interleaved:
+            self._encode_noninterleaved()
+            return
         sched = self.block_schedule()
         qall = self.quantized_blocks()
         mcu_size = sum(s.hscale * s.vscale for s in self.scans)
@@ -387,8 +440,10 @@ class Encoder:
 
 
 def _encode_with_params(frame: Frame, params: Parameters,
-                        restart_interval: int = 0) -> bytes:
-    enc = Encoder(params, restart_interval=restart_interval)
+                        restart_interval: int = 0,
+                        interleaved: bool = True) -> bytes:
+    enc = Encoder(params, restart_interval=restart_interval,
+                  interleaved=interleaved)
     enc.load_frame(frame)
     enc.write_headers()
     enc.encode()
@@ -396,22 +451,25 @@ def _encode_with_params(frame: Frame, params: Parameters,
     return enc.writer.get_buffer()
 
 
-def encode_420(frame: Frame, quality: int, restart_interval: int = 0) -> bytes:
+def encode_420(frame: Frame, quality: int, restart_interval: int = 0,
+               interleaved: bool = True) -> bytes:
     return _encode_with_params(
         frame, Parameters.c420(frame.width, frame.height, quality),
-        restart_interval)
+        restart_interval, interleaved)
 
 
-def encode_422(frame: Frame, quality: int, restart_interval: int = 0) -> bytes:
+def encode_422(frame: Frame, quality: int, restart_interval: int = 0,
+               interleaved: bool = True) -> bytes:
     return _encode_with_params(
         frame, Parameters.c422(frame.width, frame.height, quality),
-        restart_interval)
+        restart_interval, interleaved)
 
 
-def encode_444(frame: Frame, quality: int, restart_interval: int = 0) -> bytes:
+def encode_444(frame: Frame, quality: int, restart_interval: int = 0,
+               interleaved: bool = True) -> bytes:
     return _encode_with_params(
         frame, Parameters.c444(frame.width, frame.height, quality),
-        restart_interval)
+        restart_interval, interleaved)
 
 
 def encode_monochrome(plane: Plane, quality: int,

@@ -451,9 +451,22 @@ class JpegDecoderSession:
 
 
 def decode_jpeg(data: bytes, impl: str = "auto", resync: bool = False):
-    """One-shot accelerated decode of a full JPEG byte stream."""
+    """One-shot accelerated decode of a full JPEG byte stream.
+
+    Multi-scan (non-interleaved) streams route to the model's
+    MultiScanDecoder — a rarity in the wild, handled for completeness
+    (the sessions' steady-state device pipelines assume the one
+    interleaved scan every camera/encoder emits)."""
     bits = BitReader(data)
     header = Header.decode(bits)
+    if (header.frame is not None and header.scan is not None
+            and len(header.scan.scan_components)
+            < len(header.frame.components)):
+        from ..model.decoder import MultiScanDecoder
+
+        mdec = MultiScanDecoder(header, bits)
+        mdec.decode()
+        return mdec.get_yuv_frame()
     session = JpegDecoderSession(header, impl=impl)
     entropy = data[bits.bit_pos >> 3:]
     return session.decode(entropy, resync=resync)
