@@ -259,3 +259,42 @@ def test_marker_and_payload_damage_combined(stream):
     total = frame.y.data.size
     wrong = int((frame.y.data != clean_frame.y.data).sum())
     assert wrong <= 16 * 32  # ≤ RI MCUs of luma
+
+
+def test_resync_random_corruption_never_fails(stream):
+    """Fuzz: arbitrary byte corruption in the entropy region must never
+    raise under resync, and the model and engine tiers must agree
+    bit-exactly on the concealed output."""
+    data, _session, _segments, _clean = stream
+    rng = np.random.default_rng(42)
+    bits = BitReader(data)
+    mdec.Header.decode(bits)
+    off = bits.bit_pos >> 3
+    for _trial in range(40):
+        bad = bytearray(data)
+        for _ in range(int(rng.integers(1, 6))):
+            p = int(rng.integers(off, len(data) - 2))
+            bad[p] = int(rng.integers(0, 256))
+        bad = bytes(bad)
+        eng = engine.decode_jpeg(bad, impl="jnp", resync=True)
+        b2 = BitReader(bad)
+        h2 = mdec.Header.decode(b2)
+        d2 = mdec.Decoder(h2, b2)
+        d2.decode(resync=True)
+        mf = d2.get_yuv_frame()
+        for p in "yuv":
+            assert np.array_equal(getattr(mf, p).data,
+                                  getattr(eng, p).data)
+
+
+def test_cli_decode_resync(stream, tmp_path):
+    from video_coding_tpu.cli import model_cli
+
+    data, _session, segments, _clean = stream
+    bad = rebuild_stream(data, corrupt(segments, 1))
+    src = tmp_path / "bad.jpg"
+    out = tmp_path / "out.yuv"
+    src.write_bytes(bad)
+    assert model_cli.main(["decode", "frame", str(src), str(out),
+                           "--resync"]) == 0
+    assert out.stat().st_size == 64 * 64 * 3 // 2

@@ -30,9 +30,19 @@ from ..model.util import coef_block_to_string, pixel_block_to_string
 
 def cmd_decode_frame(args) -> int:
     data = open(args.input, "rb").read()
+    resync = getattr(args, "resync", False)
     if args.engine == "tpu":
         from ..runtime.engine import decode_jpeg
-        frame = decode_jpeg(data)
+        frame = decode_jpeg(data, resync=resync)
+    elif resync:
+        bits = BitReader(data)
+        header = mdec.Header.decode(bits)
+        dec = mdec.Decoder(header, bits)
+        dec.decode(resync=True)
+        if dec.damaged_segments:
+            print(f"concealed {len(dec.damaged_segments)} damaged restart "
+                  f"segment(s): {dec.damaged_segments}", file=sys.stderr)
+        frame = dec.get_yuv_frame()
     else:
         frame = mdec.decode_a_frame(data)
     with open(args.output, "wb") as f:
@@ -150,6 +160,9 @@ def build_parser() -> argparse.ArgumentParser:
     d_frame = dsub.add_parser("frame")
     d_frame.add_argument("input")
     d_frame.add_argument("output")
+    d_frame.add_argument("--resync", action="store_true",
+                         help="conceal damaged restart segments instead "
+                              "of failing (error-resilient decode)")
     d_frame.set_defaults(fn=cmd_decode_frame)
     d_header = dsub.add_parser("header")
     d_header.add_argument("input")

@@ -501,6 +501,11 @@ class Decoder:
         comp_idx = np.array([s[0] for s in sched], dtype=np.int32)
         qtabs = np.stack([c.quant_table for c in self.components])
         dequant_zz = coefs.astype(np.int64) * qtabs[comp_idx]
+        # accelerator coefficient width: 12-bit signed, like the reference
+        # RTL coefficient bus (codeblock_decoder.ml Idct_coefs coef[11:0]).
+        # Valid streams always fit; hostile/corrupt streams saturate here
+        # identically in every tier (model, XLA, Pallas).
+        np.clip(dequant_zz, -2048, 2047, out=dequant_zz)
         # inverse zigzag: natural[ZIGZAG_INVERSE[i]] = zigzag[i]
         dequant = np.zeros_like(dequant_zz)
         dequant[:, ZIGZAG_INVERSE] = dequant_zz
@@ -527,6 +532,7 @@ class Decoder:
             comp.coefs[:] = coefs_all[i]
             comp.dc_pred = int(coefs_all[i][0])
             dq = comp.coefs.astype(np.int64) * comp.quant_table
+            np.clip(dq, -2048, 2047, out=dq)  # 12-bit accelerator width
             comp.dequant[ZIGZAG_INVERSE] = dq
             comp.idct[:] = chen_inverse_8x8(
                 comp.dequant.reshape(8, 8)).reshape(64)
@@ -665,6 +671,7 @@ class MultiScanDecoder:
         # as Decoder.reconstruct)
         qarr = np.stack([tabs[ident][0] for ident, _x, _y in sched])
         dequant_zz = coefs.astype(np.int64) * qarr
+        np.clip(dequant_zz, -2048, 2047, out=dequant_zz)  # 12-bit width
         dequant = np.zeros_like(dequant_zz)
         dequant[:, ZIGZAG_INVERSE] = dequant_zz
         idct = chen_inverse_8x8(dequant.reshape(-1, 8, 8))
