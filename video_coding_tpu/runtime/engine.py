@@ -902,7 +902,13 @@ class JpegEncoderSession:
         return w.get_buffer()
 
     def encode(self, frame) -> bytes:
-        qcoefs = self.quantize_device(self.load_planes(frame))
+        return self.encode_planes(self.load_planes(frame))
+
+    def encode_planes(self, planes) -> bytes:
+        """Padded planes (numpy or device-resident arrays) → JPEG bytes:
+        device quantization (sparse download when enabled) + host/device
+        entropy per ``self.entropy``."""
+        qcoefs = self.quantize_device(planes)
         if self.entropy == "tpu":
             from ..entropy.tpu_encode import encode_scan_tpu
             segments = encode_scan_tpu(
@@ -925,7 +931,13 @@ class JpegTranscodeSession:
     restart segmentation for parallel decode."""
 
     def __init__(self, header: Header, quality: int = 75,
-                 restart_interval: int = 0, impl: str = "auto"):
+                 restart_interval: int = 0, impl: str = "auto",
+                 entropy_out: str = "host"):
+        """entropy_out: 'host' re-encodes the entropy on the host C++
+        engine after a sparse coefficient download (the measured-fastest
+        decode+encode path), 'device' keeps the bitstream packing on
+        device (fully device-resident, minimal host traffic)."""
+        self.entropy_out = entropy_out
         self.decoder = JpegDecoderSession(header, impl=impl)
         frame_hdr = header.frame
         n = len(frame_hdr.components)
@@ -962,6 +974,8 @@ class JpegTranscodeSession:
                 p = p.at[:, aw:].set(0)
             cleaned.append(p)
         enc = self.encoder
+        if self.entropy_out == "host":
+            return enc.encode_planes(cleaned)
         B = enc.blocks_per_segment
         for msb in enc._enc_budget_ladder():
             out, lens, tail_q, overflow = enc._device_e2e_enc_jit(msb)(
