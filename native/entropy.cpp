@@ -401,12 +401,15 @@ int64_t vct_encode_blocks(
 }
 
 // Remove 0x00 stuffing after 0xFF and split at RSTn markers.
-// Writes destuffed bytes to out (caller sizes out >= data_len) and fills
-// seg_ends with the end offset (in out) of each segment; returns the number
-// of segments, or -1 if more than max_segments.
-int64_t vct_destuff_segments(
+// Writes destuffed bytes to out (caller sizes out >= data_len), fills
+// seg_ends with the end offset (in out) of each segment and, when
+// seg_markers is non-null, the RSTn modulo-8 index terminating each
+// segment (the last segment has no terminator; its slot is -1). Returns
+// the number of segments, or -1 if more than max_segments.
+int64_t vct_destuff_segments_m(
     const uint8_t* data, int64_t data_len,
-    uint8_t* out, int64_t* seg_ends, int64_t max_segments) {
+    uint8_t* out, int64_t* seg_ends, int64_t* seg_markers,
+    int64_t max_segments) {
   int64_t o = 0;
   int64_t nseg = 0;
   int64_t i = 0;
@@ -423,6 +426,7 @@ int64_t vct_destuff_segments(
       i += 2;
     } else if (m >= 0xd0 && m <= 0xd7) {  // RSTn
       if (nseg >= max_segments) return -1;
+      if (seg_markers) seg_markers[nseg] = m & 7;
       seg_ends[nseg++] = o;
       i += 2;
     } else if (m == 0xff) {
@@ -432,10 +436,18 @@ int64_t vct_destuff_segments(
     }
   }
   if (nseg >= max_segments) return -1;
+  if (seg_markers) seg_markers[nseg] = -1;
   seg_ends[nseg++] = o;
   return nseg;
 }
 
-int32_t vct_version() { return 2; }
+int64_t vct_destuff_segments(
+    const uint8_t* data, int64_t data_len,
+    uint8_t* out, int64_t* seg_ends, int64_t max_segments) {
+  return vct_destuff_segments_m(data, data_len, out, seg_ends, nullptr,
+                                max_segments);
+}
+
+int32_t vct_version() { return 3; }
 
 }  // extern "C"

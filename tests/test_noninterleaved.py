@@ -89,3 +89,52 @@ def test_noninterleaved_truncated_raises(mini64_frames):
     noni = menc.encode_420(f, 75, interleaved=False)
     with pytest.raises(mdec.DecodeError):
         mdec.decode_a_frame(noni[:len(noni) // 2])
+
+
+def test_noninterleaved_resync_conceals_damage(mini64_frames):
+    """Corrupt one restart segment inside the chroma scan of a
+    non-interleaved stream: resync conceals it, everything else exact."""
+    f = mini64_frames[ChromaSubsampling.C420]
+    noni = menc.encode_420(f, 75, restart_interval=2, interleaved=False)
+    ref = mdec.decode_a_frame(noni)
+    # find the second SOS and corrupt bytes shortly after it
+    second_sos = noni.index(b"\xff\xda", noni.index(b"\xff\xda") + 2)
+    bad = bytearray(noni)
+    bad[second_sos + 20:second_sos + 24] = b"\xff\x00" * 2
+    bad = bytes(bad)
+    with pytest.raises(mdec.DecodeError):
+        mdec.decode_a_frame(bad)
+    bits = __import__("video_coding_tpu.common.bitstream",
+                      fromlist=["BitReader"]).BitReader(bad)
+    header = mdec.Header.decode(bits)
+    dec = mdec.MultiScanDecoder(header, bits)
+    dec.decode(resync=True)
+    got = dec.get_yuv_frame()
+    # luma scan (scan 0) untouched
+    assert np.array_equal(got.y.data, ref.y.data)
+    assert all(s == 1 for s, _seg in dec.damaged_segments)
+    # engine one-shot resync matches the model exactly
+    eng = engine.decode_jpeg(bad, resync=True)
+    for p in "yuv":
+        assert np.array_equal(getattr(eng, p).data, getattr(got, p).data)
+
+
+def test_noninterleaved_resync_missing_scan_fills_gray(mini64_frames):
+    f = mini64_frames[ChromaSubsampling.C420]
+    noni = menc.encode_420(f, 75, interleaved=False)
+    # truncate just before the third SOS: V never arrives
+    third_sos = noni.index(
+        b"\xff\xda", noni.index(b"\xff\xda", noni.index(b"\xff\xda") + 2) + 2)
+    bad = noni[:third_sos]
+    from video_coding_tpu.common.bitstream import BitReader
+
+    bits = BitReader(bad)
+    header = mdec.Header.decode(bits)
+    dec = mdec.MultiScanDecoder(header, bits)
+    dec.decode(resync=True)
+    got = dec.get_yuv_frame()
+    ref = mdec.decode_a_frame(noni)
+    assert np.array_equal(got.y.data, ref.y.data)
+    assert np.array_equal(got.u.data, ref.u.data)
+    assert (got.v.data == 128).all()
+    assert dec.missing_components == [3]

@@ -37,7 +37,12 @@ def cmd_decode_frame(args) -> int:
     elif resync:
         bits = BitReader(data)
         header = mdec.Header.decode(bits)
-        dec = mdec.Decoder(header, bits)
+        if (header.frame is not None and header.scan is not None
+                and len(header.scan.scan_components)
+                < len(header.frame.components)):
+            dec = mdec.MultiScanDecoder(header, bits)
+        else:
+            dec = mdec.Decoder(header, bits)
         dec.decode(resync=True)
         if dec.damaged_segments:
             print(f"concealed {len(dec.damaged_segments)} damaged restart "

@@ -88,6 +88,9 @@ def load():
     lib.vct_destuff_segments.restype = i64
     lib.vct_destuff_segments.argtypes = [p_u8, i64, p_u8, p_i64, i64]
 
+    lib.vct_destuff_segments_m.restype = i64
+    lib.vct_destuff_segments_m.argtypes = [p_u8, i64, p_u8, p_i64, p_i64, i64]
+
     lib.vct_version.restype = i32
     _lib = lib
     return _lib

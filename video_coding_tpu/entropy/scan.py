@@ -39,21 +39,38 @@ def _default_threads() -> int:
 
 def destuff_segments(data: bytes, use_native: bool | None = None) -> list[bytes]:
     """0xFF00→0xFF, split at RSTn, stop at any other marker."""
+    return destuff_segments_with_markers(data, use_native)[0]
+
+
+def destuff_segments_with_markers(
+        data: bytes, use_native: bool | None = None
+        ) -> tuple[list[bytes], list[int]]:
+    """Destuffed segments plus the RSTn modulo-8 index terminating each
+    (len = len(segments) - 1), from one pass over the bytes — the indices
+    feed restart resynchronization (decode_scan_resync)."""
     lib = native.load() if use_native in (None, True) else None
     if lib is not None:
         arr = np.frombuffer(data, dtype=np.uint8)
         out = np.empty(len(data) + 1, dtype=np.uint8)
         max_segs = len(data) // 2 + 2
         seg_ends = np.zeros(max_segs, dtype=np.int64)
-        n = lib.vct_destuff_segments(arr, len(arr), out, seg_ends, max_segs)
+        seg_marks = np.zeros(max_segs, dtype=np.int64)
+        n = lib.vct_destuff_segments_m(arr, len(arr), out, seg_ends,
+                                       seg_marks, max_segs)
         if n > 0:
             ends = seg_ends[:n]
             starts = np.concatenate([[0], ends[:-1]])
-            return [out[s:e].tobytes() for s, e in zip(starts, ends)]
-    # python fallback (same as model/decoder.extract_entropy_segments core)
-    from ..model.decoder import extract_entropy_segments
-    bits = BitReader(data)
-    return extract_entropy_segments(bits)
+            return ([out[s:e].tobytes() for s, e in zip(starts, ends)],
+                    [int(m) for m in seg_marks[:n - 1]])
+    # python fallback (the model's walk is the single shared spec)
+    from ..model.decoder import extract_entropy_segments_with_markers
+    return extract_entropy_segments_with_markers(BitReader(data))
+
+
+def rst_marker_indices(data: bytes) -> list[int]:
+    """The RSTn modulo-8 indices of a raw (stuffed) entropy-coded
+    stream, in order."""
+    return destuff_segments_with_markers(data)[1]
 
 
 # --------------------------------------------------------------------------
@@ -179,29 +196,6 @@ def decode_scan(segments: list[bytes], comp_idx: np.ndarray,
         count = min(blocks_per_segment, n_blocks - first)
         _decode_segment_py(segment, comp_idx, first, count, tables, coefs)
     return coefs
-
-
-def rst_marker_indices(data: bytes) -> list[int]:
-    """The RSTn modulo-8 indices of a raw (stuffed) entropy-coded stream,
-    in order — same termination semantics as destuff_segments."""
-    idx: list[int] = []
-    pos = 0
-    n = len(data)
-    while True:
-        nxt = data.find(b"\xff", pos)
-        if nxt == -1:
-            break
-        m = data[nxt + 1] if nxt + 1 < n else 0xD9
-        if m == 0x00:
-            pos = nxt + 2
-        elif 0xD0 <= m <= 0xD7:
-            idx.append(m & 7)
-            pos = nxt + 2
-        elif m == 0xFF:
-            pos = nxt + 1
-        else:
-            break
-    return idx
 
 
 def _decode_run_py(segment: bytes, comp_idx: np.ndarray, slot0: int,

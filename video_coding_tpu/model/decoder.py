@@ -273,14 +273,17 @@ def _find_component(scan: markers.ScanComponent,
 
 
 def _find_quant_table(quant_tables, ident) -> np.ndarray:
-    for q in quant_tables:
+    # last match: a later DQT legally redefines the identifier (T.81
+    # B.2.4.1 — tables take effect for following scans)
+    for q in reversed(quant_tables):
         if q.table_identifier == ident:
             return np.asarray(q.elements, dtype=np.int64)
     raise DecodeError("unable to find quantisation table")
 
 
 def _find_huffman_lut(huffman_tables, table_class, ident, ac: bool) -> Lut:
-    for h in huffman_tables:
+    # last match: a later DHT legally redefines the identifier
+    for h in reversed(huffman_tables):
         if h.table_class == table_class and h.destination_identifier == ident:
             spec = Spec(lengths=tuple(h.lengths), values=tuple(h.values))
             codes = spec.ac_code_table() if ac else spec.dc_code_table()
@@ -630,7 +633,8 @@ class MultiScanDecoder:
                  for by in range(bh) for bx in range(bw)]
         return sched, 1
 
-    def _decode_scan(self) -> None:
+    def _decode_scan(self, scan_idx: int = 0,
+                     resync: bool = False) -> None:
         header = self.header
         scan = header.scan
         sched, mcu_blocks = self._scan_schedule(scan)
@@ -646,27 +650,66 @@ class MultiScanDecoder:
                                   sc.ac_coef_selector, ac=True),
             )
             self.decoded_components.append(sc.selector)
-        segments, _marks, end = extract_entropy_segments_span(self.bits)
+        segments, marks, end = extract_entropy_segments_span(self.bits)
         self.bits.bit_pos = end * 8  # resume the marker loop here
         ri = (header.restart_interval.restart_interval
               if header.restart_interval else 0)
         bps = ri * mcu_blocks if ri else len(sched)
+        n_segments = -(-len(sched) // bps)
         coefs = np.zeros((len(sched), 64), dtype=np.int32)
-        seg = 0
-        rdr = BitReader(segments[0])
-        dc_preds = {ident: 0 for ident in tabs}
-        for i, (ident, _x, _y) in enumerate(sched):
-            if i and i % bps == 0:
-                seg += 1
-                if seg >= len(segments):
-                    raise DecodeError(f"missing restart segment {seg}")
-                rdr = BitReader(segments[seg])
-                dc_preds = {k: 0 for k in dc_preds}
-            quant, dc_tab, ac_tab = tabs[ident]
-            row = coefs[i]
-            huffman_decode_block(rdr, dc_tab, ac_tab, row)
-            dc_preds[ident] += int(row[0])
-            row[0] = dc_preds[ident]
+
+        def decode_slot(rdr, slot, bit_limit=None):
+            first = slot * bps
+            count = min(bps, len(sched) - first)
+            dc_preds = {k: 0 for k in tabs}
+            for i in range(first, first + count):
+                ident = sched[i][0]
+                row = coefs[i]
+                try:
+                    huffman_decode_block(rdr, tabs[ident][1],
+                                         tabs[ident][2], row)
+                    if bit_limit is not None and rdr.bit_pos > bit_limit:
+                        raise DecodeError("segment data exhausted")
+                except DecodeError:
+                    row[:] = 0
+                    return i
+                dc_preds[ident] += int(row[0])
+                row[0] = dc_preds[ident]
+            return None
+
+        if not resync:
+            for slot in range(n_segments):
+                if slot >= len(segments):
+                    raise DecodeError(f"missing restart segment {slot}")
+                bad = decode_slot(BitReader(segments[slot]), slot)
+                if bad is not None:
+                    raise DecodeError(
+                        f"entropy decode failed at block {bad}")
+        else:
+            # same restart-resync concealment as Decoder.decode_entropy,
+            # per scan: realign by RSTn index, conceal damaged runs
+            items, uncovered = plan_segment_alignment(
+                marks, len(segments), n_segments)
+            damaged = set(uncovered)
+            for slot0, n_slots, j in items:
+                seg = segments[j]
+                rdr = BitReader(seg)
+                for t in range(n_slots):
+                    slot = slot0 + t
+                    if slot * bps >= len(sched):
+                        break
+                    if t:
+                        rdr.align_to_byte()
+                    bad = decode_slot(rdr, slot, bit_limit=8 * len(seg))
+                    if bad is not None:
+                        run_end = min((slot0 + n_slots) * bps, len(sched))
+                        coefs[bad:run_end] = 0
+                        damaged.update(
+                            s for s in range(slot, slot0 + n_slots)
+                            if s * bps < len(sched))
+                        break
+            self.damaged_segments.extend(
+                (scan_idx, s) for s in sorted(damaged))
         # batched dequant → dezigzag → IDCT → recon (same numerics contract
         # as Decoder.reconstruct)
         qarr = np.stack([tabs[ident][0] for ident, _x, _y in sched])
@@ -679,15 +722,32 @@ class MultiScanDecoder:
         for i, (ident, x, y) in enumerate(sched):
             self.planes[ident].data[y:y + 8, x:x + 8] = recon[i]
 
-    def decode(self) -> None:
+    def decode(self, resync: bool = False) -> None:
+        """With ``resync=True``, damaged restart segments are concealed
+        per scan (``self.damaged_segments`` lists (scan, segment) pairs),
+        inter-scan header damage stops cleanly, and components whose scan
+        never arrived fill mid-gray."""
+        self.damaged_segments: list[tuple[int, int]] = []
+        scan_idx = 0
         while True:
-            self._decode_scan()
-            if not self.header.decode_next_scan(self.bits):
+            self._decode_scan(scan_idx, resync=resync)
+            try:
+                more = self.header.decode_next_scan(self.bits)
+            except DecodeError:
+                if not resync:
+                    raise
+                more = False
+            if not more:
                 break
+            scan_idx += 1
         missing = [c.identifier for c in self.header.frame.components
                    if c.identifier not in self.decoded_components]
         if missing:
-            raise DecodeError(f"components never scanned: {missing}")
+            if not resync:
+                raise DecodeError(f"components never scanned: {missing}")
+            for ident in missing:  # conceal never-scanned planes mid-gray
+                self.planes[ident].data[:] = 128
+            self.missing_components = missing
 
     def get_planes(self) -> list[Plane]:
         out = []

@@ -13,13 +13,18 @@ Wire format (both directions, block-major zigzag order):
 - ``mask``:   (n_blocks, 8) uint8 — packbits of (n_blocks, 64) nonzero
               flags, MSB-first (numpy/jnp ``packbits`` default).
 - ``values``: (cap,) int16 — the nonzero coefficients in flat scan order,
-              zero-padded past ``nnz``. Baseline JPEG coefficients are
-              ≤ 12-bit so int16 is lossless.
+              zero-padded past ``nnz``, saturated to the 12-bit
+              accelerator coefficient width [-2048, 2047]. Valid streams
+              always fit; hostile streams whose DC predictors overflow
+              saturate here with the same sign the datapath's dequant
+              clamp would apply (quant ≥ 1 ⇒ identical post-clamp
+              output), so sparse and dense transfers stay bit-identical.
 - ``nnz``:    int32 scalar; ``nnz > cap`` signals overflow (values were
               dropped — caller must fall back to a dense transfer).
 
 Device-side pack/unpack are single cumsum+scatter/gather graphs; host-side
-equivalents are vectorized numpy. Round-trips are exact by construction.
+equivalents are vectorized numpy. Round-trips are exact within the 12-bit
+coefficient width (all values any conforming pipeline produces).
 """
 
 from __future__ import annotations
@@ -42,8 +47,9 @@ def pack_device(qc: jax.Array, cap: int):
     nnz = jnp.sum(nz, dtype=jnp.int32)
     pos = jnp.cumsum(nz, dtype=jnp.int32) - 1
     pos = jnp.where(nz, pos, cap)  # out-of-range → dropped by the scatter
+    sat = jnp.clip(flat, -2048, 2047)  # 12-bit accelerator width
     values = jnp.zeros((cap,), jnp.int16).at[pos].set(
-        flat.astype(jnp.int16), mode="drop")
+        sat.astype(jnp.int16), mode="drop")
     mask = jnp.packbits(nz.reshape(qc.shape[0], 64), axis=1)
     return mask, values, nnz
 
@@ -63,10 +69,10 @@ def unpack_device(mask: jax.Array, values: jax.Array,
 # --------------------------------------------------------------------------
 
 def pack_host(qc: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
-    """(N, 64) int coefficients → (mask, values, nnz), exact (cap = nnz)."""
+    """(N, 64) int coefficients → (mask, values, nnz) with cap = nnz."""
     flat = qc.reshape(-1)
     nz = flat != 0
-    values = flat[nz].astype(np.int16)
+    values = np.clip(flat[nz], -2048, 2047).astype(np.int16)
     mask = np.packbits(nz.reshape(qc.shape[0], 64), axis=1)
     return mask, values, int(values.size)
 

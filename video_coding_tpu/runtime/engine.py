@@ -174,19 +174,22 @@ class JpegDecoderSession:
         ``self.last_damaged_segments`` reports what was concealed. Resync
         runs on the host entropy tiers (the device loop has no error
         strobes)."""
-        segments = entropy_scan.destuff_segments(entropy_data)
         if resync:
+            segments, marks = entropy_scan.destuff_segments_with_markers(
+                entropy_data)
             coefs, damaged = entropy_scan.decode_scan_resync(
                 segments, self.comp_idx, self.blocks_per_segment,
                 self.tables, use_native=(self.entropy != "python"),
-                marker_indices=entropy_scan.rst_marker_indices(entropy_data))
+                marker_indices=marks)
             self.last_damaged_segments = damaged
             return coefs
+        segments = entropy_scan.destuff_segments(entropy_data)
         self.last_damaged_segments = []
         if self.entropy == "tpu":
             from ..entropy.tpu_decode import decode_scan_tpu
             return decode_scan_tpu(segments, self.comp_idx,
-                                   self.blocks_per_segment, self.tables)
+                                   self.blocks_per_segment, self.tables,
+                                   mode=self.device_huffman)
         return entropy_scan.decode_scan(
             segments, self.comp_idx, self.blocks_per_segment, self.tables,
             use_native=(self.entropy == "native"))
@@ -465,7 +468,7 @@ def decode_jpeg(data: bytes, impl: str = "auto", resync: bool = False):
         from ..model.decoder import MultiScanDecoder
 
         mdec = MultiScanDecoder(header, bits)
-        mdec.decode()
+        mdec.decode(resync=resync)
         return mdec.get_yuv_frame()
     session = JpegDecoderSession(header, impl=impl)
     entropy = data[bits.bit_pos >> 3:]
