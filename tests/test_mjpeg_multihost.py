@@ -147,3 +147,27 @@ def test_mjpeg_stream_iter_matches_batch(mini64_frames):
         for p in "yuv":
             assert np.array_equal(getattr(got, p).data,
                                   getattr(ref, p).data)
+
+
+def test_mjpeg_decode_stream_resync(mini64_frames):
+    """A corrupt frame in an MJPEG stream concealed, others exact."""
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.tools import mjpeg
+
+    f = mini64_frames[ChromaSubsampling.C420]
+    stream = mjpeg.encode_stream([f] * 4, 75, restart_interval=2)
+    parts = mjpeg.split_stream(stream)
+    clean = mjpeg.decode_stream(stream)
+    # corrupt frame 2's entropy mid-way
+    bad2 = bytearray(parts[2])
+    bad2[len(bad2) // 2:len(bad2) // 2 + 6] = b"\xff\x00" * 3
+    bad_stream = mjpeg.join_stream(
+        [parts[0], parts[1], bytes(bad2), parts[3]])
+    got = mjpeg.decode_stream(bad_stream, resync=True)
+    assert len(got) == 4
+    for i in (0, 1, 3):
+        for p in "yuv":
+            assert np.array_equal(getattr(got[i], p).data,
+                                  getattr(clean[i], p).data)
+    # damaged frame still full-size output
+    assert got[2].y.data.shape == clean[2].y.data.shape

@@ -64,9 +64,17 @@ def join_stream(frames: list[bytes]) -> bytes:
     return b"".join(frames)
 
 
-def decode_stream(data: bytes, session=None) -> list[Frame]:
+def decode_stream(data: bytes, session=None,
+                  resync: bool = False) -> list[Frame]:
     """Decode an MJPEG stream through one cached decoder session (all
-    frames must share headers — the MJPEG steady state)."""
+    frames must share headers — the MJPEG steady state).
+
+    With ``resync=True`` the stream is error-resilient at two levels:
+    damaged restart segments inside a frame are concealed (see
+    JpegDecoderSession.decode), and a frame whose headers are too
+    corrupt to parse is replaced by a mid-gray frame instead of killing
+    the stream."""
+    from ..model.decoder import DecodeError
     from ..runtime.engine import JpegDecoderSession
 
     frame_bytes = split_stream(data)
@@ -75,14 +83,50 @@ def decode_stream(data: bytes, session=None) -> list[Frame]:
     payloads = []
     header = None
     for fb in frame_bytes:
-        bits = BitReader(fb)
-        h = Header.decode(bits)
+        try:
+            bits = BitReader(fb)
+            h = Header.decode(bits)
+        except DecodeError:
+            if not resync:
+                raise
+            payloads.append(None)  # unparseable frame: conceal
+            continue
         if header is None:
             header = h
         payloads.append(fb[bits.bit_pos >> 3:])
+    if header is None:
+        return []
     if session is None:
         session = JpegDecoderSession(header)
-    return session.decode_batch(payloads)
+    if not resync:
+        return session.decode_batch(payloads)
+    gray = None
+    out = []
+    for p in payloads:
+        if p is None:
+            if gray is None:
+                gray = _gray_frame(session)
+            out.append(gray)
+            continue
+        try:
+            out.append(session.decode(p, resync=True))
+        except DecodeError:
+            if gray is None:
+                gray = _gray_frame(session)
+            out.append(gray)
+    return out
+
+
+def _gray_frame(session) -> Frame:
+    """Mid-gray concealment frame matching the session geometry."""
+    import numpy as np
+
+    from ..common.plane import Plane
+
+    planes = [Plane(data=np.full((c.actual_height, c.actual_width), 128,
+                                 dtype=np.uint8))
+              for c in session.components]
+    return Frame.of_planes(*planes)
 
 
 def encode_stream(frames: list[Frame], quality: int = 75,
