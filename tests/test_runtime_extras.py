@@ -131,3 +131,53 @@ def test_transcode_session_matches_model_roundtrip(mini64_frames):
     ref = menc_mod.encode_420(mdec_mod.decode_a_frame(stream), 60,
                               restart_interval=3)
     assert out == ref
+
+
+def test_decode_device_rgb_batch_matches_single(mini64_frames):
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.model.decoder import Header
+
+    f = mini64_frames[ChromaSubsampling.C420]
+    data = engine.encode_jpeg(f, 75, restart_interval=2)
+    bits = BitReader(data)
+    header = Header.decode(bits)
+    payload = data[bits.bit_pos >> 3:]
+    sess = engine.JpegDecoderSession(header, impl="jnp")
+    single = np.asarray(sess.decode_device_rgb(payload))
+    batch = np.asarray(sess.decode_device_rgb_batch([payload] * 3))
+    assert batch.shape == (3,) + single.shape
+    for i in range(3):
+        assert np.array_equal(batch[i], single)
+
+
+def test_jpeg_rgb_dataset(mini64_frames):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.parallel.mesh import make_mesh
+    from video_coding_tpu.runtime.dataset import JpegRgbDataset
+    from video_coding_tpu.tools import mjpeg
+
+    f = mini64_frames[ChromaSubsampling.C420]
+    stream = mjpeg.encode_stream([f] * 10, 75, restart_interval=2)
+    ds = JpegRgbDataset(stream, batch_size=4, prefetch=2)
+    assert len(ds) == 3 and ds.frame_shape == (64, 64, 3)
+    batches = list(ds)
+    assert [b.shape[0] for b in batches] == [4, 4, 2]
+    # values match the single-frame RGB decode
+    single = np.asarray(ds.session.decode_device_rgb(ds.payloads[0]))
+    assert np.array_equal(np.asarray(batches[0][0]), single)
+    # drop_remainder
+    assert [b.shape[0] for b in
+            JpegRgbDataset(stream, batch_size=4, drop_remainder=True)] \
+        == [4, 4]
+    # sharded hand-off over the virtual 8-device mesh's data axis
+    mesh = make_mesh((8,), ("data",))
+    ds8 = JpegRgbDataset(stream[:0] + stream, batch_size=8,
+                         drop_remainder=True,
+                         sharding=NamedSharding(mesh, P("data")))
+    (b,) = list(ds8)
+    assert b.shape[0] == 8
+    assert len(b.sharding.device_set) == 8

@@ -315,6 +315,14 @@ class JpegDecoderSession:
         """Batched fused decode: all frames' restart segments become one
         big lane pool for the device Huffman loop; one jit call end to
         end. Returns a list of per-frame plane tuples (device arrays)."""
+        planes = self.decode_device_batch_stacked(entropy_list)
+        return [tuple(p[i] for p in planes)
+                for i in range(len(entropy_list))]
+
+    def decode_device_batch_stacked(self, entropy_list: list[bytes]):
+        """Like decode_device_batch but returns the per-component
+        batch-stacked (F, H, W) plane arrays directly (no per-frame
+        slicing) — the form batched device consumers want."""
         from ..entropy import tpu_decode
 
         F = len(entropy_list)
@@ -336,8 +344,7 @@ class JpegDecoderSession:
             seg_blocks[-1] = self.n_blocks % B
         seg_blocks = np.tile(seg_blocks, F)
         fn = self._device_e2e_batch_jit(F, L)
-        planes = fn(jnp.asarray(segbytes), jnp.asarray(seg_blocks))
-        return [tuple(p[i] for p in planes) for i in range(F)]
+        return fn(jnp.asarray(segbytes), jnp.asarray(seg_blocks))
 
     def _device_e2e_batch_jit(self, F: int, L: int):
         return self._cached_jit(("e2e_batch", F, L),
@@ -369,16 +376,10 @@ class JpegDecoderSession:
 
         return run
 
-    def decode_device_rgb(self, entropy_data: bytes):
-        """Raw entropy bytes → (H, W, 3) uint8 RGB tensor, everything on
-        device (entropy, datapath, chroma upsample, color conversion) —
-        the decode-for-training path where frames feed an on-chip model."""
-        from ..common.frame import ChromaSubsampling
+    def _rgb_tail(self, planes):
+        """Decoded padded planes → (H, W, 3) uint8 RGB (traceable)."""
         from ..ops import color
 
-        if len(self.components) != 3:
-            raise DecodeError("RGB output needs a 3-component scan")
-        planes = self.decode_device_e2e(entropy_data)
         comps = self.components
         yw, yh = comps[0].actual_width, comps[0].actual_height
         sh = (comps[0].component.horizontal_sampling_factor
@@ -397,7 +398,33 @@ class JpegDecoderSession:
         y = planes[0][:yh, :yw]
         u = chroma(planes[1], comps[1])
         v = chroma(planes[2], comps[2])
-        return jax.jit(color.yuv444_to_rgb)(y, u, v)
+        return color.yuv444_to_rgb(y, u, v)
+
+    def decode_device_rgb(self, entropy_data: bytes):
+        """Raw entropy bytes → (H, W, 3) uint8 RGB tensor, everything on
+        device (entropy, datapath, chroma upsample, color conversion) —
+        the decode-for-training path where frames feed an on-chip model."""
+        if len(self.components) != 3:
+            raise DecodeError("RGB output needs a 3-component scan")
+        planes = self.decode_device_e2e(entropy_data)
+        return jax.jit(self._rgb_tail)(planes)
+
+    def decode_device_rgb_batch(self, entropy_list: list[bytes]):
+        """Batched decode-for-training: raw entropy payloads →
+        (F, H, W, 3) uint8 RGB on device, one fused jit for the Huffman
+        loop + datapath and one vmapped jit for upsample + color."""
+        if len(self.components) != 3:
+            raise DecodeError("RGB output needs a 3-component scan")
+        planes = self.decode_device_batch_stacked(entropy_list)
+        fn = self._cached_jit(("rgb_batch",), self._build_rgb_batch_jit)
+        return fn(*planes)
+
+    def _build_rgb_batch_jit(self):
+        @jax.jit
+        def run(*planes_batched):
+            return jax.vmap(lambda *ps: self._rgb_tail(ps))(*planes_batched)
+
+        return run
 
     # -- batched (Motion-JPEG) --------------------------------------------
     def decode_batch(self, entropy_list: list[bytes]) -> list[Frame]:
