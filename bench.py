@@ -143,7 +143,12 @@ def main() -> int:
     for _ in range(2):
         enc.encode_batch(enc_frames)
     t_enc_batch = (time.perf_counter() - t0) / (2 * FE)
-    t_enc = min(t_enc_single, t_enc_batch)
+    # streaming encode: frames in flight (host entropy ∥ device numerics)
+    t0 = time.perf_counter()
+    for _ in enc.encode_iter(enc_frames + enc_frames, depth=3):
+        pass
+    t_enc_iter = (time.perf_counter() - t0) / (2 * FE)
+    t_enc = min(t_enc_single, t_enc_batch, t_enc_iter)
 
     # ---- decode: fused on-device, batched ------------------------------
     F = 8
@@ -170,7 +175,13 @@ def main() -> int:
         dec.decode(payload)
     t_dec_mixed = (time.perf_counter() - t0) / 4
 
-    t_dec = min(t_dec_fused, t_dec_mixed)
+    # streaming decode: frames in flight (host entropy ∥ device datapath)
+    t0 = time.perf_counter()
+    for _ in dec.decode_iter([payload] * 6, depth=3):
+        pass
+    t_dec_iter = (time.perf_counter() - t0) / 6
+
+    t_dec = min(t_dec_fused, t_dec_mixed, t_dec_iter)
 
     # ---- decode+encode per chip, pixels device-resident -----------------
     # The transcode session is the faithful per-chip decode+encode
@@ -196,7 +207,17 @@ def main() -> int:
     reps_t = 4
     for _ in range(reps_t):
         trans.transcode(payload)
-    t_trans = (time.perf_counter() - t0) / reps_t
+    t_trans_sync = (time.perf_counter() - t0) / reps_t
+
+    # streaming transcode: frames in flight — host entropy re-encode of
+    # frame i overlaps frame i+1's device decode (the steady state of a
+    # production re-encode service)
+    FT = 6
+    t0 = time.perf_counter()
+    for _ in trans.transcode_iter([payload] * FT, depth=3):
+        pass
+    t_trans_iter = (time.perf_counter() - t0) / FT
+    t_trans = min(t_trans_sync, t_trans_iter)
 
     # headline: best decode+encode path (each frame fully decoded and
     # re-encoded, bit-exactness gated above)
@@ -212,6 +233,8 @@ def main() -> int:
         "path": path,
         "pipeline_mpix_s": round(px / t_pipeline / 1e6, 2),
         "transcode_mpix_s": round(px / t_trans / 1e6, 2),
+        "transcode_sync_mpix_s": round(px / t_trans_sync / 1e6, 2),
+        "transcode_stream_mpix_s": round(px / t_trans_iter / 1e6, 2),
         "platform": platform,
         "encode_mpix_s": round(px / t_enc / 1e6, 2),
         "encode_single_mpix_s": round(px / t_enc_single / 1e6, 2),
@@ -219,6 +242,8 @@ def main() -> int:
         "decode_mpix_s": round(px / t_dec / 1e6, 2),
         "decode_fused_mpix_s": round(px / t_dec_fused / 1e6, 2),
         "decode_mixed_mpix_s": round(px / t_dec_mixed / 1e6, 2),
+        "decode_stream_mpix_s": round(px / t_dec_iter / 1e6, 2),
+        "encode_stream_mpix_s": round(px / t_enc_iter / 1e6, 2),
         "decode_device_resident_mpix_s": round(px / t_dec_dev / 1e6, 2),
         "encode_ms_per_frame": round(t_enc * 1e3, 2),
         "decode_ms_per_frame": round(t_dec * 1e3, 2),

@@ -131,6 +131,9 @@ def test_transcode_session_matches_model_roundtrip(mini64_frames):
     ref = menc_mod.encode_420(mdec_mod.decode_a_frame(stream), 60,
                               restart_interval=3)
     assert out == ref
+    # pipelined streaming transcode: ordered and byte-identical
+    outs = list(t.transcode_iter([stream[bits.bit_pos >> 3:]] * 3, depth=2))
+    assert outs == [ref] * 3
 
 
 def test_decode_device_rgb_batch_matches_single(mini64_frames):

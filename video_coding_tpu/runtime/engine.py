@@ -1027,6 +1027,15 @@ class JpegTranscodeSession:
             segments[-1] = tail[0]
         return enc._assemble(segments)
 
+    def transcode_iter(self, entropy_iter, depth: int = 2):
+        """Pipelined streaming transcode: an ordered generator of JPEG
+        byte strings with up to ``depth`` frames in flight — frame i's
+        host entropy re-encode overlaps frame i+1's device decode and
+        coefficient download. The steady-state shape of a production
+        re-encode service (same frame-granularity macro-pipeline as
+        decode_iter/encode_iter)."""
+        return _pipelined_map(self.transcode, entropy_iter, depth)
+
 
 def encode_jpeg(frame: Frame, quality: int = 75,
                 subsampling: ChromaSubsampling = ChromaSubsampling.C420,
