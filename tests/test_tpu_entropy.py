@@ -55,6 +55,41 @@ def test_tpu_decode_restart_segments(ri, q, mini64_frames):
     assert np.array_equal(out, golden)
 
 
+@pytest.mark.parametrize("gather_impl", ["native", "onehot"])
+def test_pallas_decode_restart_segments(gather_impl, mini64_frames):
+    """The Pallas symbol-loop kernel is bit-identical to the host scan
+    decoder (and hence the XLA while_loop path) on segmented streams,
+    for both per-lane gather strategies."""
+    from video_coding_tpu.entropy.pallas_decode import decode_scan_pallas
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    for ri, q in [(1, 75), (3, 95)]:
+        data = menc.encode_420(src, q, restart_interval=ri)
+        dec = decoder_for(data)
+        golden = dec.decode_entropy()
+        comp_idx = np.array([s[0] for s in dec.block_schedule()],
+                            dtype=np.int32)
+        mcu = sum(c.component.horizontal_sampling_factor
+                  * c.component.vertical_sampling_factor
+                  for c in dec.components)
+        out = decode_scan_pallas(dec.entropy_segments, comp_idx, ri * mcu,
+                                 dec_tables(dec), gather_impl=gather_impl)
+        assert np.array_equal(out, golden)
+
+
+def test_pallas_decode_corrupt_stream_terminates():
+    """Garbage lanes stop at max_iters instead of hanging (the error-
+    strobe analog, codeblock_decoder.ml:19-26)."""
+    from video_coding_tpu.entropy.pallas_decode import decode_scan_pallas
+
+    dec_tabs = pack_decoder_tables(
+        [Lut(DC_LUMA.dc_code_table(), ac=False)],
+        [Lut(AC_LUMA.ac_code_table(), ac=True)])
+    comp_idx = np.zeros(4, dtype=np.int32)
+    out = decode_scan_pallas([b"\xaa\x55" * 8], comp_idx, 4, dec_tabs)
+    assert out.shape == (4, 64)
+
+
 def test_tpu_encode_matches_host():
     rng = np.random.default_rng(0)
     tables = pack_encoder_tables([DC_LUMA, DC_CHROMA, DC_CHROMA],

@@ -1,0 +1,282 @@
+"""Pallas TPU kernel for the segment-per-lane vectorized Huffman decode.
+
+Same contract and bit-identical output as tpu_decode's XLA while_loop
+decoders, but the whole symbol loop runs inside one Mosaic kernel per
+lane chunk with every operand pinned in VMEM:
+
+- the precomputed 32-bit peek windows (the device analog of the RTL
+  bitstream reader's 40-bit shift window, bitstream_reader.ml:36-57),
+- the canonical-range codeword tables (the 16 parallel length matchers
+  of codeword_decoder.ml:31-76 as branch-free vector compares),
+- the per-lane cursor/FSM state (codeblock_decoder.ml:143-244), and
+- the coefficient output block.
+
+The XLA formulation round-trips ~15 MB of carry state through HBM every
+while_loop iteration; here an iteration touches only VMEM. Per-lane
+dynamic indexing appears in three places (peek-window gather, value-table
+lookup, coefficient scatter); each has a Mosaic-native form and a
+branch-free one-hot form (`gather_impl`) because Mosaic's supported
+gather/scatter surface varies by shape and backend generation.
+
+Lanes are restart segments (pack_segments layout); the kernel targets the
+many-short-segments regime (restart_interval=1 → thousands of ~20-byte
+lanes). Long-segment/few-lane streams stay on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PEEK_BITS = 16
+
+
+def _onehot_row_gather(table, idx):
+    """table (R,) or (T, V) flattened per-lane lookup without gather:
+    returns table[idx] for idx (N, 1) int32, via a one-hot reduction."""
+    flat = table.reshape(1, -1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], flat.shape[1]),
+                                    1)
+    return jnp.sum(jnp.where(cols == idx, flat, 0), axis=1, keepdims=True)
+
+
+def _kernel(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
+            values_ref, out_ref, *, blocks: int, n_components: int,
+            max_iters: int, syms_per_iter: int, gather_impl: str):
+    CHUNK = words_ref.shape[0]
+    LW = words_ref.shape[1]
+    B = blocks
+    C = n_components
+    V = values_ref.shape[1]
+    W64 = B * 64
+
+    words = words_ref[:]                       # (CHUNK, LW) uint32
+    seg_blocks = segblk_ref[:]                 # (CHUNK, 1) int32
+    lo = lo_ref[:]                             # (T, 16)
+    hi = hi_ref[:]
+    off = off_ref[:]
+    values = values_ref[:]                     # (T, V)
+    sched = sched_ref[:]                       # (1, B)
+    lens16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1) + 1
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, W64), 1)
+    sched_cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, B), 1)
+    T = lo.shape[0]
+
+    def peek(bitpos):
+        byte = jnp.clip(bitpos >> 3, 0, LW - 1)
+        sh = (bitpos & 7).astype(jnp.uint32)
+        if gather_impl == "native":
+            w32 = jnp.take_along_axis(words, byte, axis=1)
+        else:
+            wcols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LW), 1)
+            w32 = jnp.sum(jnp.where(wcols == byte, words,
+                                    jnp.uint32(0)), axis=1, keepdims=True)
+        return ((w32 >> (16 - sh)) & 0xFFFF).astype(jnp.int32)
+
+    def table_rows(t):
+        """Select per-lane rows of the (T, 16) range tables: T is tiny, so
+        a T-way where-accumulate beats any gather."""
+        lo_s = jnp.zeros((CHUNK, 16), jnp.int32)
+        hi_s = jnp.zeros((CHUNK, 16), jnp.int32)
+        off_s = jnp.zeros((CHUNK, 16), jnp.int32)
+        for tt in range(T):
+            m = t == tt
+            lo_s = jnp.where(m, lo[tt][None, :], lo_s)
+            hi_s = jnp.where(m, hi[tt][None, :], hi_s)
+            off_s = jnp.where(m, off[tt][None, :], off_s)
+        return lo_s, hi_s, off_s
+
+    def lookup(t, w16):
+        lo_t, hi_t, off_t = table_rows(t)
+        valid = (w16 >= lo_t) & (w16 < hi_t)
+        code_len = jnp.sum(jnp.where(valid, lens16, 0), axis=1,
+                           keepdims=True)
+        lo_sel = jnp.sum(jnp.where(valid, lo_t, 0), axis=1, keepdims=True)
+        off_sel = jnp.sum(jnp.where(valid, off_t, 0), axis=1, keepdims=True)
+        shift = 16 - jnp.maximum(code_len, 1)
+        idx = off_sel + ((w16 - lo_sel) >> shift)
+        flat_idx = t * V + jnp.clip(idx, 0, V - 1)
+        if gather_impl == "native":
+            data = jnp.take(values.reshape(-1), flat_idx.reshape(-1),
+                            axis=0).reshape(CHUNK, 1)
+        else:
+            data = _onehot_row_gather(values, flat_idx)
+        return code_len, jnp.where(code_len > 0, data, 0)
+
+    def magnitude(cat, code):
+        # decoder.ml:73-79 sign extension
+        neg = (code & (1 << jnp.maximum(cat - 1, 0))) == 0
+        val = jnp.where(neg & (cat > 0), code - (1 << cat) + 1, code)
+        return jnp.where(cat == 0, 0, val)
+
+    def step_once(bitpos, blk, cof, in_ac, dc_pred, coefs):
+        active = blk < seg_blocks
+        # comp = sched[blk]: one-hot over the (1, B) schedule row
+        comp = jnp.sum(
+            jnp.where(sched_cols == jnp.clip(blk, 0, B - 1), sched, 0),
+            axis=1, keepdims=True)
+        w16 = peek(bitpos)
+        in_ac_i = in_ac.astype(jnp.int32)
+        code_len, data = lookup(comp + in_ac_i * C, w16)
+        run = jnp.where(in_ac, (data >> 4) & 0xF, 0)
+        cat = jnp.where(in_ac, data & 0xF, data)
+        magpos = bitpos + code_len
+        wmag = peek(magpos)
+        mag_code = jnp.where(
+            cat > 0, wmag >> (PEEK_BITS - jnp.maximum(cat, 1)), 0)
+        val = magnitude(cat, mag_code)
+        new_bitpos = magpos + cat
+
+        # --- DC phase: dc_pred (CHUNK, C) one-hot update -------------
+        comp_cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, C), 1)
+        is_comp = comp_cols == comp
+        new_dc = jnp.where(is_comp & (~in_ac & active), dc_pred + val,
+                           dc_pred)
+        dc_val = jnp.sum(jnp.where(is_comp, new_dc, 0), axis=1,
+                         keepdims=True)
+
+        # --- AC phase ------------------------------------------------
+        is_eob = in_ac & (run == 0) & (cat == 0)
+        new_cof_ac = cof + run
+        write_ac = in_ac & ~is_eob & active & (new_cof_ac < 64)
+        write_dc = ~in_ac & active
+        do_write = write_dc | write_ac
+        write_cof = jnp.where(write_dc, 0, jnp.clip(new_cof_ac, 0, 63))
+        write_val = jnp.where(write_dc, dc_val, val)
+        w = jnp.clip(blk, 0, B - 1) * 64 + write_cof
+        coefs = jnp.where((out_cols == w) & do_write, write_val, coefs)
+
+        cof_after = jnp.where(in_ac,
+                              jnp.where(is_eob, 64, new_cof_ac + 1),
+                              1)
+        block_done = in_ac & (is_eob | (cof_after >= 64))
+        new_blk = jnp.where(block_done & active, blk + 1, blk)
+        new_in_ac = jnp.where(block_done, False,
+                              jnp.where(~in_ac, True, in_ac))
+        new_cof = jnp.where(block_done, 0, cof_after)
+        bitpos = jnp.where(active, new_bitpos, bitpos)
+        return (bitpos, new_blk, new_cof, new_in_ac, new_dc, coefs)
+
+    def body(state):
+        it, *rest = state
+        for _ in range(syms_per_iter):
+            rest = step_once(*rest)
+        return (it + 1, *rest)
+
+    def cond(state):
+        it, _bitpos, blk, _cof, _in_ac, _dc, _coefs = state
+        return jnp.any(blk < seg_blocks) & (it < max_iters)
+
+    zc = jnp.zeros((CHUNK, 1), jnp.int32)
+    init = (
+        jnp.zeros((), jnp.int32),
+        zc,                                    # bitpos
+        zc,                                    # blk
+        zc,                                    # cof
+        zc < 0,                                # in_ac
+        jnp.zeros((CHUNK, C), jnp.int32),      # dc_pred
+        jnp.zeros((CHUNK, W64), jnp.int32),    # coefs
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = final[6]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blocks_per_segment", "n_components", "lane_chunk",
+                     "gather_impl", "syms_per_iter", "interpret"))
+def decode_segments_pallas(segbytes: jax.Array, seg_blocks: jax.Array,
+                           comp_sched: jax.Array, lo: jax.Array,
+                           hi: jax.Array, offset: jax.Array,
+                           values: jax.Array, *, blocks_per_segment: int,
+                           n_components: int, lane_chunk: int = 512,
+                           gather_impl: str = "native",
+                           syms_per_iter: int = 2,
+                           interpret: bool = False) -> jax.Array:
+    """Decode all segments in parallel in a Pallas TPU kernel.
+
+    Arguments and result match tpu_decode.decode_segments_device_range:
+    segbytes (S, L) uint8 destuffed zero-padded segments (≥4 guard
+    bytes), seg_blocks (S,) int32, comp_sched (blocks_per_segment,)
+    int32, range tables from tpu_decode.range_tables. Returns
+    (S, blocks_per_segment, 64) int32 zigzag coefficients with DC
+    prediction resolved per segment.
+    """
+    S, L = segbytes.shape
+    B = blocks_per_segment
+    # precomputed big-endian 32-bit windows (one load per peek)
+    segu = segbytes.astype(jnp.uint32)
+    words = ((segu[:, :-3] << 24) | (segu[:, 1:-2] << 16)
+             | (segu[:, 2:-1] << 8) | segu[:, 3:])
+    LW = L - 3
+    # pad lanes to a chunk multiple and the window dim to the lane tile
+    CH = min(lane_chunk, max(8, 1 << (S - 1).bit_length()))
+    Sp = -(-S // CH) * CH
+    LWp = -(-LW // 128) * 128
+    words = jnp.pad(words, ((0, Sp - S), (0, LWp - LW)))
+    segb = jnp.pad(seg_blocks.astype(jnp.int32), (0, Sp - S))[:, None]
+    sched = comp_sched.astype(jnp.int32)[None, :]
+
+    grid = (Sp // CH,)
+    kern = functools.partial(
+        _kernel, blocks=B, n_components=n_components,
+        max_iters=(B * 65 + 64) // syms_per_iter + 2,
+        syms_per_iter=syms_per_iter, gather_impl=gather_impl)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CH, LWp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(lo.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(hi.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(offset.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(values.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CH, B * 64), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Sp, B * 64), jnp.int32),
+        interpret=interpret,
+    )(words, segb, sched, lo.astype(jnp.int32), hi.astype(jnp.int32),
+      offset.astype(jnp.int32), values.astype(jnp.int32))
+    return out[:S].reshape(S, B, 64)
+
+
+def decode_scan_pallas(segments: list[bytes], comp_idx: np.ndarray,
+                       blocks_per_segment: int, tables,
+                       gather_impl: str = "native",
+                       interpret: bool | None = None) -> np.ndarray:
+    """Drop-in alternative to tpu_decode.decode_scan_tpu running the
+    Huffman loop in the Pallas kernel. Returns (n_blocks, 64) int32."""
+    from .tpu_decode import pack_segments, range_tables
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_blocks = len(comp_idx)
+    segbytes, _lens = pack_segments(segments)
+    S = len(segments)
+    seg_blocks = np.full(S, blocks_per_segment, dtype=np.int32)
+    if n_blocks % blocks_per_segment:
+        seg_blocks[-1] = n_blocks % blocks_per_segment
+    comp_sched = np.asarray(comp_idx[:blocks_per_segment], dtype=np.int32)
+    lo, hi, off, values = range_tables(tables)
+    n_components = lo.shape[0] // 2
+    out = decode_segments_pallas(
+        jnp.asarray(segbytes), jnp.asarray(seg_blocks),
+        jnp.asarray(comp_sched), jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(off), jnp.asarray(values),
+        blocks_per_segment=blocks_per_segment, n_components=n_components,
+        gather_impl=gather_impl, interpret=interpret)
+    return np.asarray(out).reshape(S * blocks_per_segment, 64)[:n_blocks]
