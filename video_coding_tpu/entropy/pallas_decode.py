@@ -55,7 +55,7 @@ def _kernel(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
     V = values_ref.shape[1]
     W64 = B * 64
 
-    words = words_ref[:]                       # (CHUNK, LW) uint32
+    words = words_ref[:]                       # (CHUNK, LW) int32 bits
     seg_blocks = segblk_ref[:]                 # (CHUNK, 1) int32
     lo = lo_ref[:]                             # (T, 16)
     hi = hi_ref[:]
@@ -68,15 +68,17 @@ def _kernel(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
     T = lo.shape[0]
 
     def peek(bitpos):
+        # words carry the raw big-endian window bits in int32; all shifts
+        # are explicit logical shifts (Mosaic has no unsigned reductions)
         byte = jnp.clip(bitpos >> 3, 0, LW - 1)
-        sh = (bitpos & 7).astype(jnp.uint32)
+        sh = bitpos & 7
         if gather_impl == "native":
             w32 = jnp.take_along_axis(words, byte, axis=1)
         else:
             wcols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LW), 1)
-            w32 = jnp.sum(jnp.where(wcols == byte, words,
-                                    jnp.uint32(0)), axis=1, keepdims=True)
-        return ((w32 >> (16 - sh)) & 0xFFFF).astype(jnp.int32)
+            w32 = jnp.sum(jnp.where(wcols == byte, words, 0), axis=1,
+                          keepdims=True)
+        return jax.lax.shift_right_logical(w32, 16 - sh) & 0xFFFF
 
     def table_rows(t):
         """Select per-lane rows of the (T, 16) range tables: T is tiny, so
@@ -114,15 +116,17 @@ def _kernel(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
         val = jnp.where(neg & (cat > 0), code - (1 << cat) + 1, code)
         return jnp.where(cat == 0, 0, val)
 
-    def step_once(bitpos, blk, cof, in_ac, dc_pred, coefs):
+    def step_once(bitpos, blk, cof, in_ac_c, dc_pred, coefs):
+        # in_ac is carried as int32 (Mosaic can't round-trip i1 vectors
+        # through the while_loop state) and materialized as a mask here
+        in_ac = in_ac_c != 0
         active = blk < seg_blocks
         # comp = sched[blk]: one-hot over the (1, B) schedule row
         comp = jnp.sum(
             jnp.where(sched_cols == jnp.clip(blk, 0, B - 1), sched, 0),
             axis=1, keepdims=True)
         w16 = peek(bitpos)
-        in_ac_i = in_ac.astype(jnp.int32)
-        code_len, data = lookup(comp + in_ac_i * C, w16)
+        code_len, data = lookup(comp + in_ac_c * C, w16)
         run = jnp.where(in_ac, (data >> 4) & 0xF, 0)
         cat = jnp.where(in_ac, data & 0xF, data)
         magpos = bitpos + code_len
@@ -156,8 +160,8 @@ def _kernel(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
                               1)
         block_done = in_ac & (is_eob | (cof_after >= 64))
         new_blk = jnp.where(block_done & active, blk + 1, blk)
-        new_in_ac = jnp.where(block_done, False,
-                              jnp.where(~in_ac, True, in_ac))
+        new_in_ac = jnp.where(block_done, 0,
+                              jnp.where(~in_ac, 1, in_ac_c))
         new_cof = jnp.where(block_done, 0, cof_after)
         bitpos = jnp.where(active, new_bitpos, bitpos)
         return (bitpos, new_blk, new_cof, new_in_ac, new_dc, coefs)
@@ -178,7 +182,7 @@ def _kernel(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
         zc,                                    # bitpos
         zc,                                    # blk
         zc,                                    # cof
-        zc < 0,                                # in_ac
+        zc,                                    # in_ac (0/1 int32)
         jnp.zeros((CHUNK, C), jnp.int32),      # dc_pred
         jnp.zeros((CHUNK, W64), jnp.int32),    # coefs
     )
@@ -209,10 +213,12 @@ def decode_segments_pallas(segbytes: jax.Array, seg_blocks: jax.Array,
     """
     S, L = segbytes.shape
     B = blocks_per_segment
-    # precomputed big-endian 32-bit windows (one load per peek)
+    # precomputed big-endian 32-bit windows (one load per peek), carried
+    # as int32 raw bits — the kernel uses logical shifts only
     segu = segbytes.astype(jnp.uint32)
-    words = ((segu[:, :-3] << 24) | (segu[:, 1:-2] << 16)
-             | (segu[:, 2:-1] << 8) | segu[:, 3:])
+    words = jax.lax.bitcast_convert_type(
+        (segu[:, :-3] << 24) | (segu[:, 1:-2] << 16)
+        | (segu[:, 2:-1] << 8) | segu[:, 3:], jnp.int32)
     LW = L - 3
     # pad lanes to a chunk multiple and the window dim to the lane tile
     CH = min(lane_chunk, max(8, 1 << (S - 1).bit_length()))

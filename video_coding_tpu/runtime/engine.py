@@ -88,8 +88,9 @@ class JpegDecoderSession:
         mixed host-entropy path — ~4-6x less interconnect traffic), or
         'auto' (sparse on TPU, dense elsewhere).
         device_huffman: codeword strategy of the on-device entropy loop —
-        'range' (canonical-range compares, tiny tables) or 'lut'
-        (flat 2^16 gather)."""
+        'range' (canonical-range compares, tiny tables, XLA while_loop),
+        'lut' (flat 2^16 gather), or 'pallas' (range compares with the
+        whole symbol loop resident in VMEM — entropy/pallas_decode.py)."""
         self.header = header
         self.impl = impl
         self.entropy = entropy
@@ -287,13 +288,23 @@ class JpegDecoderSession:
             cache[key] = builder(*args)
         return cache[key]
 
-    def _build_device_e2e_jit(self, L: int):
+    def _device_decode_fn(self):
+        """Resolve the on-device Huffman strategy → (decode_fn, lut_args).
+        All three are bit-identical on valid streams: 'range' (canonical
+        compares, XLA while_loop), 'lut' (flat 2^16 gather, XLA),
+        'pallas' (range compares with the whole symbol loop in VMEM)."""
         from ..entropy import tpu_decode
 
-        B = self.blocks_per_segment
-        n_blocks = self.n_blocks
-        comp_sched = jnp.asarray(self.comp_idx[:B])
-        if self.device_huffman == "range":
+        if self.device_huffman == "pallas":
+            from ..entropy import pallas_decode
+
+            lut_args = tuple(map(jnp.asarray,
+                                 tpu_decode.range_tables(self.tables)))
+            decode_fn = functools.partial(
+                pallas_decode.decode_segments_pallas,
+                n_components=len(self.components),
+                interpret=jax.default_backend() == "cpu")
+        elif self.device_huffman == "range":
             lut_args = tuple(map(jnp.asarray,
                                  tpu_decode.range_tables(self.tables)))
             decode_fn = tpu_decode.decode_segments_device_range
@@ -301,6 +312,13 @@ class JpegDecoderSession:
             lut_args = tuple(map(jnp.asarray,
                                  tpu_decode.expand_luts(self.tables)))
             decode_fn = tpu_decode.decode_segments_device
+        return decode_fn, lut_args
+
+    def _build_device_e2e_jit(self, L: int):
+        B = self.blocks_per_segment
+        n_blocks = self.n_blocks
+        comp_sched = jnp.asarray(self.comp_idx[:B])
+        decode_fn, lut_args = self._device_decode_fn()
 
         @jax.jit
         def run(segbytes, seg_blocks):
@@ -351,20 +369,11 @@ class JpegDecoderSession:
                                 self._build_device_e2e_batch_jit, F, L)
 
     def _build_device_e2e_batch_jit(self, F: int, L: int):
-        from ..entropy import tpu_decode
-
         B = self.blocks_per_segment
         n_blocks = self.n_blocks
         n_seg = (n_blocks + B - 1) // B
         comp_sched = jnp.asarray(self.comp_idx[:B])
-        if self.device_huffman == "range":
-            lut_args = tuple(map(jnp.asarray,
-                                 tpu_decode.range_tables(self.tables)))
-            decode_fn = tpu_decode.decode_segments_device_range
-        else:
-            lut_args = tuple(map(jnp.asarray,
-                                 tpu_decode.expand_luts(self.tables)))
-            decode_fn = tpu_decode.decode_segments_device
+        decode_fn, lut_args = self._device_decode_fn()
 
         @jax.jit
         def run(segbytes, seg_blocks):
