@@ -77,11 +77,26 @@ def main() -> int:
 
     import jax
     # per-platform cache dir: CPU AOT artifacts are machine-feature
-    # sensitive and must not mix with the remote-compiled TPU entries
+    # sensitive and must not mix with the remote-compiled TPU entries.
+    # The CPU dir is additionally keyed by the host's CPU feature flags:
+    # XLA will happily *load* AOT artifacts compiled on a different
+    # machine type (with a warning) and run them with degraded codegen —
+    # measured ~2.5x slower here when a stale cache from another host was
+    # reused.
+    if platform == "tpu":
+        cache_name = ".jax_cache"
+    else:
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        cache_name = ".jax_cache_cpu-" + hashlib.sha1(
+            flags.encode()).hexdigest()[:8]
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache" if platform == "tpu"
-                                   else ".jax_cache_cpu"))
+                                   cache_name))
 
     from video_coding_tpu.common.frame import ChromaSubsampling, Frame
     from video_coding_tpu.common.plane import Plane

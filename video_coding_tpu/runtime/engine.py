@@ -926,19 +926,29 @@ class JpegEncoderSession:
         coefficient download."""
         return _pipelined_map(self.encode, frames, depth)
 
-    def _assemble(self, segments: list[bytes]) -> bytes:
+    @functools.cached_property
+    def _header_bytes(self) -> bytes:
+        """SOI..SOS header bytes — fixed for the session's parameters."""
         w = BitWriter()
         enc = Encoder(self.params, w, restart_interval=self.restart_interval)
         enc.write_headers()
+        return w.get_buffer()
+
+    _RST_MARKERS = [bytes((0xFF, marker_codes.RST0 + j)) for j in range(8)]
+
+    def _assemble(self, segments: list[bytes]) -> bytes:
+        # segments arrive byte-aligned (flush_with_1s already applied), so
+        # the stream is a flat byte join: headers + seg/RSTn interleave +
+        # EOI. Bit-level writes here cost ~30 ms/frame at 8k segments.
+        rst = self._RST_MARKERS
+        parts = [self._header_bytes]
+        append = parts.append
         for i, seg in enumerate(segments):
             if i > 0:
-                w.put_bits(0xFF, 8, stuffing=False)
-                w.put_bits(marker_codes.RST0 + ((i - 1) & 7), 8,
-                           stuffing=False)
-            w.put_bytes(seg)
-        w.put_bits(0xFF, 8, stuffing=False)
-        w.put_bits(marker_codes.EOI, 8, stuffing=False)
-        return w.get_buffer()
+                append(rst[(i - 1) & 7])
+            append(seg)
+        append(b"\xff" + bytes((marker_codes.EOI,)))
+        return b"".join(parts)
 
     def encode(self, frame) -> bytes:
         return self.encode_planes(self.load_planes(frame))
