@@ -130,3 +130,33 @@ def test_decode_error_on_garbage():
     with pytest.raises(ValueError):
         decode_scan([b"\xff\xff\xff\xff"], bad_comp, 1, tables,
                     use_native=True)
+
+
+def test_fused_destuff_and_decode_matches_two_step():
+    """destuff_and_decode_scan (fused C++ buffer path) == destuff +
+    decode_scan on a restart-segmented stream incl. stuffed bytes."""
+    from video_coding_tpu.entropy.scan import destuff_and_decode_scan
+    from video_coding_tpu.model.huffman import Lut
+
+    rng = np.random.default_rng(11)
+    n = 48
+    qcoefs = rng.integers(-120, 120, size=(n, 64)).astype(np.int32)
+    qcoefs[:, 24:] = 0
+    comp_idx = np.zeros(n, dtype=np.int32)
+    enc_tables = pack_encoder_tables([DC_LUMA], [AC_LUMA])
+    dec_tables = pack_decoder_tables(
+        [Lut(DC_LUMA.dc_code_table(), ac=False)],
+        [Lut(AC_LUMA.ac_code_table(), ac=True)])
+    for bps in (n, 8, 6):
+        segments = encode_scan(qcoefs, comp_idx, bps, enc_tables)
+        # raw on-the-wire bytes: segments joined with RSTn markers
+        raw = bytearray(segments[0])
+        for i, seg in enumerate(segments[1:]):
+            raw += bytes((0xFF, 0xD0 + (i & 7)))
+            raw += seg
+        fused = destuff_and_decode_scan(bytes(raw), comp_idx, bps,
+                                        dec_tables)
+        destuffed = destuff_segments(bytes(raw))
+        two_step = decode_scan(destuffed, comp_idx, bps, dec_tables)
+        assert np.array_equal(fused, two_step)
+        assert np.array_equal(fused, qcoefs)

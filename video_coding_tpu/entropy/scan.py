@@ -67,6 +67,51 @@ def destuff_segments_with_markers(
     return extract_entropy_segments_with_markers(BitReader(data))
 
 
+def destuff_and_decode_scan(data: bytes, comp_idx: np.ndarray,
+                            blocks_per_segment: int, tables: DecoderTables,
+                            n_threads: int | None = None) -> np.ndarray:
+    """Fused native destuff + Huffman decode of a raw (stuffed) entropy
+    stream: the destuffed bytes stay in one contiguous C++ buffer and feed
+    vct_decode_blocks directly — no per-segment Python bytes objects, no
+    re-join (~10 ms/frame saved at 8160 segments on 1080p). Semantics are
+    identical to destuff_segments + decode_scan."""
+    lib = native.load()
+    n_blocks = len(comp_idx)
+    comp_idx = np.ascontiguousarray(comp_idx, dtype=np.int32)
+    if lib is None:
+        return decode_scan(destuff_segments(data, use_native=False),
+                           comp_idx, blocks_per_segment, tables,
+                           use_native=False, n_threads=n_threads)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    out = np.empty(len(data) + 1, dtype=np.uint8)
+    max_segs = len(data) // 2 + 2
+    seg_ends = np.zeros(max_segs, dtype=np.int64)
+    n = int(lib.vct_destuff_segments(arr, len(data), out, seg_ends,
+                                     max_segs))
+    if n <= 0:
+        raise ValueError("destuff failed on entropy stream")
+    expected = (n_blocks + blocks_per_segment - 1) // blocks_per_segment
+    if n != expected:
+        raise ValueError(
+            f"expected {expected} restart segments for {n_blocks} blocks "
+            f"(interval {blocks_per_segment}), got {n}")
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    offsets[1:] = seg_ends[:n]
+    coefs = np.zeros((n_blocks, 64), dtype=np.int32)
+    nt = n_threads if n_threads is not None else _default_threads()
+    rc = lib.vct_decode_blocks(
+        out, offsets, n, comp_idx, n_blocks, blocks_per_segment,
+        len(tables.dc_maxbits),
+        tables.dc_maxbits, tables.dc_lut, tables.dc_off,
+        tables.ac_maxbits, tables.ac_lut, tables.ac_off,
+        coefs.reshape(-1), nt)
+    if rc != 0:
+        raise ValueError(f"entropy decode failed at block {-rc - 1}")
+    return coefs
+
+
 def rst_marker_indices(data: bytes) -> list[int]:
     """The RSTn modulo-8 indices of a raw (stuffed) entropy-coded
     stream, in order."""

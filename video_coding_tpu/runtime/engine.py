@@ -184,16 +184,22 @@ class JpegDecoderSession:
                 marker_indices=marks)
             self.last_damaged_segments = damaged
             return coefs
-        segments = entropy_scan.destuff_segments(entropy_data)
         self.last_damaged_segments = []
         if self.entropy == "tpu":
+            segments = entropy_scan.destuff_segments(entropy_data)
             from ..entropy.tpu_decode import decode_scan_tpu
             return decode_scan_tpu(segments, self.comp_idx,
                                    self.blocks_per_segment, self.tables,
                                    mode=self.device_huffman)
+        if self.entropy == "native":
+            # fused C++ destuff+decode: one contiguous buffer end to end
+            return entropy_scan.destuff_and_decode_scan(
+                entropy_data, self.comp_idx, self.blocks_per_segment,
+                self.tables)
+        segments = entropy_scan.destuff_segments(entropy_data)
         return entropy_scan.decode_scan(
             segments, self.comp_idx, self.blocks_per_segment, self.tables,
-            use_native=(self.entropy == "native"))
+            use_native=False)
 
     def decode_planes_device(self, coefs: np.ndarray):
         """(N,64) coefficients → tuple of decoded (padded) planes on
