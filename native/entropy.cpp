@@ -176,7 +176,11 @@ inline uint32_t magnitude_bits(int size, int32_t v) {
 }
 
 // Encode one segment. Returns bytes written or negative error.
-int64_t encode_segment(const int32_t* qcoefs, const int32_t* comp_idx,
+// Templated on the coefficient type: the device download is int16 (the
+// quantized range is ±2047), so accepting it directly skips a whole-array
+// int32 conversion on the host.
+template <typename T>
+int64_t encode_segment(const T* qcoefs, const int32_t* comp_idx,
                        int64_t first_block, int64_t n_blocks_seg,
                        int n_components, const CompEncTables* tabs,
                        uint8_t* out, int64_t out_cap) {
@@ -187,7 +191,7 @@ int64_t encode_segment(const int32_t* qcoefs, const int32_t* comp_idx,
     int c = comp_idx[blk];
     if (c < 0 || c >= n_components) return -1;
     const CompEncTables& t = tabs[c];
-    const int32_t* q = qcoefs + blk * 64;
+    const T* q = qcoefs + blk * 64;
     // DC: differential, size category + magnitude (encoder.ml:149-161)
     int32_t dc = q[0];
     int32_t diff = dc - dc_pred[c];
@@ -355,11 +359,17 @@ int64_t vct_decode_blocks_resync(
   return n_damaged.load();
 }
 
+}  // extern "C"
+
+namespace {
+
 // Encode all segments of a scan. Each segment s writes its stuffed,
 // 1-padded bytes at out + s*seg_stride; seg_lens[s] receives its length.
-// Returns 0 on success, -1 on buffer overflow.
-int64_t vct_encode_blocks(
-    const int32_t* qcoefs,               // [n_blocks*64] zigzag
+// Returns 0 on success, -1 on buffer overflow or out-of-range input
+// (coefficients beyond the baseline 12-bit magnitude range).
+template <typename T>
+int64_t encode_blocks_impl(
+    const T* qcoefs,                     // [n_blocks*64] zigzag
     const int32_t* comp_idx,
     int64_t n_blocks,
     int64_t blocks_per_segment,
@@ -398,6 +408,60 @@ int64_t vct_encode_blocks(
   };
   parallel_for_segments(n_segments, n_threads, work);
   return err.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t vct_encode_blocks(
+    const int32_t* qcoefs, const int32_t* comp_idx,
+    int64_t n_blocks, int64_t blocks_per_segment, int64_t n_segments,
+    int32_t n_components,
+    const uint16_t* dc_bits, const uint8_t* dc_len,
+    const uint16_t* ac_bits, const uint8_t* ac_len,
+    uint8_t* out, int64_t seg_stride, int64_t* seg_lens,
+    int32_t n_threads) {
+  return encode_blocks_impl(qcoefs, comp_idx, n_blocks, blocks_per_segment,
+                            n_segments, n_components, dc_bits, dc_len,
+                            ac_bits, ac_len, out, seg_stride, seg_lens,
+                            n_threads);
+}
+
+// int16 variant: consumes the device's int16 coefficient download with no
+// host-side widening pass.
+int64_t vct_encode_blocks_i16(
+    const int16_t* qcoefs, const int32_t* comp_idx,
+    int64_t n_blocks, int64_t blocks_per_segment, int64_t n_segments,
+    int32_t n_components,
+    const uint16_t* dc_bits, const uint8_t* dc_len,
+    const uint16_t* ac_bits, const uint8_t* ac_len,
+    uint8_t* out, int64_t seg_stride, int64_t* seg_lens,
+    int32_t n_threads) {
+  return encode_blocks_impl(qcoefs, comp_idx, n_blocks, blocks_per_segment,
+                            n_segments, n_components, dc_bits, dc_len,
+                            ac_bits, ac_len, out, seg_stride, seg_lens,
+                            n_threads);
+}
+
+// Compact strided segments into one contiguous entropy body with RSTn
+// markers interleaved (segment i>0 is preceded by FFD0+((i-1)&7)) —
+// the byte layout the encoder session splices between its headers and
+// EOI. Returns bytes written to dst (caller sizes dst >= sum(lens) +
+// 2*(n_segments-1)).
+int64_t vct_assemble_stream(
+    const uint8_t* segs, int64_t seg_stride, const int64_t* seg_lens,
+    int64_t n_segments, uint8_t* dst) {
+  int64_t o = 0;
+  for (int64_t s = 0; s < n_segments; ++s) {
+    if (s > 0) {
+      dst[o++] = 0xff;
+      dst[o++] = (uint8_t)(0xd0 + ((s - 1) & 7));
+    }
+    std::memcpy(dst + o, segs + s * seg_stride, (size_t)seg_lens[s]);
+    o += seg_lens[s];
+  }
+  return o;
 }
 
 // Remove 0x00 stuffing after 0xFF and split at RSTn markers.
@@ -448,6 +512,6 @@ int64_t vct_destuff_segments(
                                 max_segments);
 }
 
-int32_t vct_version() { return 3; }
+int32_t vct_version() { return 4; }
 
 }  // extern "C"

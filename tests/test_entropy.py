@@ -160,3 +160,37 @@ def test_fused_destuff_and_decode_matches_two_step():
         two_step = decode_scan(destuffed, comp_idx, bps, dec_tables)
         assert np.array_equal(fused, two_step)
         assert np.array_equal(fused, qcoefs)
+
+
+def test_encode_scan_stream_matches_segments_join():
+    """encode_scan_stream (fused C++ encode+RSTn assembly, int16 and
+    int32 inputs) == encode_scan segments joined with RSTn markers."""
+    from video_coding_tpu.entropy.scan import encode_scan_stream
+
+    rng = np.random.default_rng(3)
+    n = 60
+    qcoefs = rng.integers(-200, 200, size=(n, 64)).astype(np.int32)
+    qcoefs[:, 30:] = 0
+    comp_idx = np.tile(np.array([0, 0, 1, 2], dtype=np.int32), 15)
+    tables = pack_encoder_tables([DC_LUMA, DC_CHROMA, DC_CHROMA],
+                                 [AC_LUMA, AC_CHROMA, AC_CHROMA])
+    for bps in (n, 4, 8):
+        segments = encode_scan(qcoefs, comp_idx, bps, tables)
+        ref = bytearray(segments[0])
+        for i, seg in enumerate(segments[1:]):
+            ref += bytes((0xFF, 0xD0 + (i & 7)))
+            ref += seg
+        for q in (qcoefs, qcoefs.astype(np.int16)):
+            got = encode_scan_stream(q, comp_idx, bps, tables)
+            assert got == bytes(ref), (bps, q.dtype)
+
+
+def test_encode_scan_stream_range_error():
+    from video_coding_tpu.entropy.scan import encode_scan_stream
+
+    qcoefs = np.zeros((4, 64), dtype=np.int32)
+    qcoefs[1, 0] = 4096  # DC beyond the 12-bit baseline range
+    comp_idx = np.zeros(4, dtype=np.int32)
+    tables = pack_encoder_tables([DC_LUMA], [AC_LUMA])
+    with pytest.raises(ValueError):
+        encode_scan_stream(qcoefs, comp_idx, 4, tables)

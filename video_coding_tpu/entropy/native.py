@@ -85,6 +85,17 @@ def load():
         p_u8, i64, p_i64, i32,              # out, seg_stride, seg_lens, n_threads
     ]
 
+    p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.vct_encode_blocks_i16.restype = i64
+    lib.vct_encode_blocks_i16.argtypes = [
+        p_i16, p_i32, i64, i64, i64, i32,   # qcoefs, comp_idx, n_blocks, b/seg, n_seg, n_comp
+        p_u16, p_u8t, p_u16, p_u8t,         # dc bits/len, ac bits/len
+        p_u8, i64, p_i64, i32,              # out, seg_stride, seg_lens, n_threads
+    ]
+
+    lib.vct_assemble_stream.restype = i64
+    lib.vct_assemble_stream.argtypes = [p_u8, i64, p_i64, i64, p_u8]
+
     lib.vct_destuff_segments.restype = i64
     lib.vct_destuff_segments.argtypes = [p_u8, i64, p_u8, p_i64, i64]
 

@@ -112,6 +112,62 @@ def destuff_and_decode_scan(data: bytes, comp_idx: np.ndarray,
     return coefs
 
 
+def encode_scan_stream(qcoefs: np.ndarray, comp_idx: np.ndarray,
+                       blocks_per_segment: int, tables: EncoderTables,
+                       n_threads: int | None = None) -> bytes:
+    """Entropy-encode a whole scan straight to its on-the-wire entropy
+    body — stuffed segment bytes joined with RSTn markers — staying in
+    C++ buffers end to end (no per-segment Python bytes objects).
+
+    Accepts int16 coefficients directly (the device download format; the
+    quantized range is ±2047) so no host-side widening pass is needed.
+    The 12-bit magnitude range is enforced inside the encode loop."""
+    n_blocks = len(comp_idx)
+    n_segments = (n_blocks + blocks_per_segment - 1) // blocks_per_segment
+    lib = native.load()
+    if lib is None:
+        segments = encode_scan(qcoefs, comp_idx, blocks_per_segment,
+                               tables, use_native=False,
+                               n_threads=n_threads)
+        out = bytearray()
+        for i, seg in enumerate(segments):
+            if i > 0:
+                out += bytes((0xFF, 0xD0 + ((i - 1) & 7)))
+            out += seg
+        return bytes(out)
+    if (isinstance(qcoefs, np.ndarray) and qcoefs.dtype == np.int16
+            and qcoefs.flags.c_contiguous):
+        q = qcoefs
+        encode_fn = lib.vct_encode_blocks_i16
+    else:
+        q = np.ascontiguousarray(qcoefs, dtype=np.int32)
+        encode_fn = lib.vct_encode_blocks
+    comp_idx = np.ascontiguousarray(comp_idx, dtype=np.int32)
+    nt = n_threads if n_threads is not None else _default_threads()
+    # lean buffer first; the absolute worst case (≤209 raw bytes/block,
+    # ≤2x after stuffing) on demand
+    for per_block in (260, 64 * 8):
+        seg_stride = blocks_per_segment * per_block + 256
+        out = np.empty(n_segments * seg_stride, dtype=np.uint8)
+        seg_lens = np.zeros(n_segments, dtype=np.int64)
+        rc = encode_fn(
+            q.reshape(-1), comp_idx, n_blocks, blocks_per_segment,
+            n_segments, len(tables.dc_bits) // 12,
+            tables.dc_bits, tables.dc_len, tables.ac_bits, tables.ac_len,
+            out, seg_stride, seg_lens, nt)
+        if rc == 0:
+            break
+    else:
+        # worst-case buffers can't overflow, so a remaining error means
+        # coefficients outside the baseline 12-bit magnitude range
+        raise ValueError("quantized coefficients exceed the 12-bit "
+                         "baseline-JPEG range")
+    total = int(seg_lens.sum()) + 2 * (n_segments - 1)
+    dst = np.empty(max(total, 1), dtype=np.uint8)
+    n = lib.vct_assemble_stream(out, seg_stride, seg_lens, n_segments, dst)
+    return dst[:n].tobytes()
+
+
 def rst_marker_indices(data: bytes) -> list[int]:
     """The RSTn modulo-8 indices of a raw (stuffed) entropy-coded
     stream, in order."""

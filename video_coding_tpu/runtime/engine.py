@@ -895,10 +895,16 @@ class JpegEncoderSession:
                 segments = encode_scan_tpu(
                     qcoefs, self.comp_idx, self.blocks_per_segment,
                     self.tables)
-            else:
-                segments = entropy_scan.encode_scan(
-                    qcoefs, self.comp_idx, self.blocks_per_segment,
-                    self.tables, use_native=(self.entropy == "native"))
+                return self._assemble(segments)
+            if self.entropy == "native":
+                body = entropy_scan.encode_scan_stream(
+                    np.ascontiguousarray(qcoefs), self.comp_idx,
+                    self.blocks_per_segment, self.tables)
+                return b"".join((self._header_bytes, body,
+                                 bytes((0xFF, marker_codes.EOI))))
+            segments = entropy_scan.encode_scan(
+                qcoefs, self.comp_idx, self.blocks_per_segment,
+                self.tables, use_native=False)
             return self._assemble(segments)
 
         with concurrent.futures.ThreadPoolExecutor(
@@ -968,10 +974,18 @@ class JpegEncoderSession:
             from ..entropy.tpu_encode import encode_scan_tpu
             segments = encode_scan_tpu(
                 qcoefs, self.comp_idx, self.blocks_per_segment, self.tables)
-        else:
-            segments = entropy_scan.encode_scan(
-                qcoefs, self.comp_idx, self.blocks_per_segment, self.tables,
-                use_native=(self.entropy == "native"))
+            return self._assemble(segments)
+        if self.entropy == "native":
+            # fused C++ encode+assemble: the int16 coefficient download
+            # feeds the encoder directly and segments/RSTn are joined in
+            # one native pass
+            body = entropy_scan.encode_scan_stream(
+                qcoefs, self.comp_idx, self.blocks_per_segment, self.tables)
+            return b"".join((self._header_bytes, body,
+                             bytes((0xFF, marker_codes.EOI))))
+        segments = entropy_scan.encode_scan(
+            qcoefs, self.comp_idx, self.blocks_per_segment, self.tables,
+            use_native=False)
         return self._assemble(segments)
 
 
