@@ -158,6 +158,12 @@ struct BitWriter {
   }
 };
 
+// Encoder error codes (distinct so callers can report the real cause;
+// see video_coding_tpu/entropy/scan.py encode_scan_stream).
+constexpr int64_t VCT_EOVERFLOW = -1;   // output buffer too small
+constexpr int64_t VCT_ECOMP = -2;       // comp_idx out of range
+constexpr int64_t VCT_ERANGE = -3;      // coefficient beyond 12-bit range
+
 struct CompEncTables {
   const uint16_t* dc_bits;  // [12]
   const uint8_t* dc_len;    // [12]
@@ -175,7 +181,10 @@ inline uint32_t magnitude_bits(int size, int32_t v) {
   return (v >= 0 ? (uint32_t)v : (uint32_t)(v - 1)) & mask;
 }
 
-// Encode one segment. Returns bytes written or negative error.
+// Encode one segment. Returns bytes written or a negative error:
+//   VCT_EOVERFLOW  output buffer too small (retry with a larger one)
+//   VCT_ECOMP      comp_idx entry outside [0, n_components)
+//   VCT_ERANGE     coefficient outside the baseline 12-bit magnitude range
 // Templated on the coefficient type: the device download is int16 (the
 // quantized range is ±2047), so accepting it directly skips a whole-array
 // int32 conversion on the host.
@@ -189,7 +198,7 @@ int64_t encode_segment(const T* qcoefs, const int32_t* comp_idx,
   for (int64_t b = 0; b < n_blocks_seg; ++b) {
     int64_t blk = first_block + b;
     int c = comp_idx[blk];
-    if (c < 0 || c >= n_components) return -1;
+    if (c < 0 || c >= n_components) return VCT_ECOMP;
     const CompEncTables& t = tabs[c];
     const T* q = qcoefs + blk * 64;
     // DC: differential, size category + magnitude (encoder.ml:149-161)
@@ -197,16 +206,16 @@ int64_t encode_segment(const T* qcoefs, const int32_t* comp_idx,
     int32_t diff = dc - dc_pred[c];
     dc_pred[c] = dc;
     int size = size_category(diff);
-    if (size > 11) return -1;  // outside baseline 12-bit coefficient range
-    if (!w.put(t.dc_bits[size], t.dc_len[size])) return -1;
-    if (!w.put(magnitude_bits(size, diff), size)) return -1;
+    if (size > 11) return VCT_ERANGE;
+    if (!w.put(t.dc_bits[size], t.dc_len[size])) return VCT_EOVERFLOW;
+    if (!w.put(magnitude_bits(size, diff), size)) return VCT_EOVERFLOW;
     // ACs: run-length + ZRL splitting + EOB (encoder.ml:163-193)
     int last_nz = 0;
     for (int i = 63; i >= 1; --i) {
       if (q[i] != 0) { last_nz = i; break; }
     }
     if (last_nz == 0) {
-      if (!w.put(t.ac_bits[0], t.ac_len[0])) return -1;  // EOB
+      if (!w.put(t.ac_bits[0], t.ac_len[0])) return VCT_EOVERFLOW;  // EOB
       continue;
     }
     int run = 0;
@@ -214,21 +223,21 @@ int64_t encode_segment(const T* qcoefs, const int32_t* comp_idx,
       int32_t v = q[i];
       if (v == 0) { ++run; continue; }
       while (run >= 16) {
-        if (!w.put(t.ac_bits[15 * 11], t.ac_len[15 * 11])) return -1;  // ZRL
+        if (!w.put(t.ac_bits[15 * 11], t.ac_len[15 * 11])) return VCT_EOVERFLOW;  // ZRL
         run -= 16;
       }
       int s = size_category(v);
-      if (s > 10) return -1;  // outside baseline AC magnitude range
+      if (s > 10) return VCT_ERANGE;
       int idx = run * 11 + s;
-      if (!w.put(t.ac_bits[idx], t.ac_len[idx])) return -1;
-      if (!w.put(magnitude_bits(s, v), s)) return -1;
+      if (!w.put(t.ac_bits[idx], t.ac_len[idx])) return VCT_EOVERFLOW;
+      if (!w.put(magnitude_bits(s, v), s)) return VCT_EOVERFLOW;
       run = 0;
     }
     if (last_nz < 63) {
-      if (!w.put(t.ac_bits[0], t.ac_len[0])) return -1;  // EOB
+      if (!w.put(t.ac_bits[0], t.ac_len[0])) return VCT_EOVERFLOW;  // EOB
     }
   }
-  if (!w.flush_with_1s()) return -1;
+  if (!w.flush_with_1s()) return VCT_EOVERFLOW;
   return w.n;
 }
 
@@ -400,7 +409,7 @@ int64_t encode_blocks_impl(
                                tabs.data(), out + s * seg_stride, seg_stride);
     if (r < 0) {
       int64_t expected = 0;
-      err.compare_exchange_strong(expected, -1);
+      err.compare_exchange_strong(expected, r);
       seg_lens[s] = 0;
     } else {
       seg_lens[s] = r;
@@ -512,6 +521,6 @@ int64_t vct_destuff_segments(
                                 max_segments);
 }
 
-int32_t vct_version() { return 4; }
+int32_t vct_version() { return 5; }
 
 }  // extern "C"

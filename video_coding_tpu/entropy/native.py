@@ -18,6 +18,9 @@ _NATIVE_DIR = os.path.join(
     "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libvctentropy.so")
 
+# Must match native/entropy.cpp vct_version() — bump both together.
+_ABI_VERSION = 5
+
 _lib = None
 
 
@@ -50,6 +53,16 @@ def load():
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
+        return None
+    # A stale prebuilt .so (e.g. rebuilt failed for lack of a toolchain)
+    # may predate the symbols bound below; verify the ABI version first
+    # and fall back to the pure-Python tiers rather than raising from
+    # load()/available().
+    try:
+        lib.vct_version.restype = ctypes.c_int32
+        if lib.vct_version() != _ABI_VERSION:
+            return None
+    except AttributeError:
         return None
 
     i64 = ctypes.c_int64
@@ -102,7 +115,6 @@ def load():
     lib.vct_destuff_segments_m.restype = i64
     lib.vct_destuff_segments_m.argtypes = [p_u8, i64, p_u8, p_i64, p_i64, i64]
 
-    lib.vct_version.restype = i32
     _lib = lib
     return _lib
 

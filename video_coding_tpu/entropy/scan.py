@@ -158,8 +158,14 @@ def encode_scan_stream(qcoefs: np.ndarray, comp_idx: np.ndarray,
         if rc == 0:
             break
     else:
-        # worst-case buffers can't overflow, so a remaining error means
-        # coefficients outside the baseline 12-bit magnitude range
+        # worst-case buffers can't overflow, so a surviving error carries
+        # one of the engine's distinct causes (entropy.cpp VCT_E*)
+        if rc == -2:
+            raise ValueError("comp_idx entry outside the packed table "
+                             "range [0, n_components)")
+        if rc == -1000000000:
+            raise ValueError("native entropy engine supports at most 8 "
+                             "scan components")
         raise ValueError("quantized coefficients exceed the 12-bit "
                          "baseline-JPEG range")
     total = int(seg_lens.sum()) + 2 * (n_segments - 1)
@@ -452,7 +458,13 @@ def encode_scan(qcoefs: np.ndarray, comp_idx: np.ndarray,
             if rc == 0:
                 return [out[s * seg_stride:s * seg_stride + seg_lens[s]]
                         .tobytes() for s in range(n_segments)]
-        raise ValueError("entropy encode failed")
+        if rc == -2:
+            raise ValueError("comp_idx entry outside the packed table "
+                             "range [0, n_components)")
+        if rc == -1000000000:
+            raise ValueError("native entropy engine supports at most 8 "
+                             "scan components")
+        raise ValueError(f"entropy encode failed (native error {rc})")
     # python fallback
     ncomp = len(tables.dc_bits) // 12
     result = []
