@@ -246,23 +246,18 @@ def _stuff_gather(raw, raw_bytes_len, M_out):
     return out, out_lens, overflow
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("blocks_per_segment", "max_seg_bytes"))
-def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
-                           dc_len, ac_bits, ac_len, *,
-                           blocks_per_segment: int, max_seg_bytes: int):
-    """Encode all restart segments in parallel on device.
+def _symbol_parts(qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len,
+                  ac_bits, ac_len, blocks_per_segment: int):
+    """Per-block composite symbols, data parallel (no sequential FSM).
 
-    qcoefs: (N, 64) int32 zigzag quantized coefficients, N divisible by
-    blocks_per_segment. Returns (bytes (S, M) uint8 stuffed+padded,
-    seg_byte_lens (S,), overflow flag — when True the caller must fall
-    back to a larger buffer or the host coder)."""
+    Returns (sym_hi, sym_lo, sym_len) each (N, SLOTS_PER_BLOCK): the
+    bit-packed codeword+magnitude value of every symbol slot and its bit
+    length (0 for empty slots)."""
     N = qcoefs.shape[0]
     B = blocks_per_segment
     S = N // B
     q = qcoefs.astype(jnp.int32)
 
-    # ---- per-block symbols (data parallel) -------------------------------
     # DC differential per scan component within each segment
     dcs = q[:, 0].reshape(S, B)
     has_prev = prev_same_comp >= 0
@@ -319,6 +314,33 @@ def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
     sym_len = jnp.concatenate(
         [dc_slen[:, None], ln, jnp.where(need_eob, eob_len, 0)[:, None]],
         axis=1)
+    return sym_hi, sym_lo, sym_len
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("blocks_per_segment", "max_seg_bytes"))
+def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
+                           dc_len, ac_bits, ac_len, *,
+                           blocks_per_segment: int, max_seg_bytes: int,
+                           valid=None):
+    """Encode all restart segments in parallel on device.
+
+    qcoefs: (N, 64) int32 zigzag quantized coefficients, N divisible by
+    blocks_per_segment. valid: optional (N,) bool — blocks marked False
+    (geometry padding in a short tail segment, or whole padding segments
+    appended for mesh divisibility) contribute no symbols, so the packed
+    bytes match a host encode of only the valid blocks exactly.
+    Returns (bytes (S, M) uint8 stuffed+padded, seg_byte_lens (S,),
+    overflow flag — when True the caller must fall back to a larger
+    buffer or the host coder)."""
+    N = qcoefs.shape[0]
+    B = blocks_per_segment
+    S = N // B
+    sym_hi, sym_lo, sym_len = _symbol_parts(
+        qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len, ac_bits, ac_len,
+        B)
+    if valid is not None:
+        sym_len = jnp.where(valid[:, None], sym_len, 0)
 
     # ---- gather-only pack + stuffing -------------------------------------
     sym_hi = sym_hi.reshape(S, B * SLOTS_PER_BLOCK)
@@ -331,6 +353,64 @@ def encode_segments_device(qcoefs, comp_idx, prev_same_comp, dc_bits,
     M_out = M_raw + M_raw // 4 + 8
     out, out_lens, ovf2 = _stuff_gather(raw, raw_bytes_len, M_out)
     return out, out_lens, ovf1 | ovf2
+
+
+@functools.partial(jax.jit, static_argnames=("blocks_per_segment",))
+def segment_coded_bits(qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len,
+                       ac_bits, ac_len, *, blocks_per_segment: int,
+                       valid=None):
+    """Exact coded size of every restart segment in bits, pre byte-padding
+    and pre 0xFF00 stuffing — the true rate for the parallel-encode offset
+    exchange (the proxy-free replacement SURVEY.md §7.6 calls for).
+
+    Bit-identical to 8·len(destuffed segment) − flush padding of the host
+    coders. Returns (S,) int32."""
+    B = blocks_per_segment
+    S = qcoefs.shape[0] // B
+    _hi, _lo, sym_len = _symbol_parts(
+        qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len, ac_bits, ac_len,
+        B)
+    if valid is not None:
+        sym_len = jnp.where(valid[:, None], sym_len, 0)
+    return jnp.sum(sym_len.reshape(S, B * SLOTS_PER_BLOCK), axis=1)
+
+
+def stream_scatter(out, lens, offsets, gidx, n_segments: int, cap: int):
+    """Scatter packed segments + their RSTn markers into a flat wire
+    buffer — the device-side replacement for host segment joins (the TPU
+    analog of the reference's FIFO chain between entropy stages,
+    bytestream_decoder.ml:257-289).
+
+    out (S_local, M) uint8 packed segment bytes; lens (S_local,) their
+    lengths; offsets (S_local,) each segment's first-byte wire position;
+    gidx (S_local,) global segment indices (marker index = (g-1) & 7;
+    g ≥ n_segments rows are mesh padding and emit nothing). Returns a
+    (cap,) int32 byte buffer — disjoint scatters, so sharded callers can
+    psum partial buffers across the mesh."""
+    S_local, M = out.shape
+    pos = jnp.arange(M)
+    seg_real = gidx < n_segments
+    bvalid = (pos[None, :] < lens[:, None]) & seg_real[:, None]
+    dst = jnp.where(bvalid, offsets[:, None] + pos[None, :], cap)
+    buf = jnp.zeros((cap,), jnp.int32).at[dst.reshape(-1)].add(
+        out.astype(jnp.int32).reshape(-1), mode="drop")
+    mvalid = (gidx > 0) & seg_real
+    buf = buf.at[jnp.where(mvalid, offsets - 2, cap)].add(0xFF, mode="drop")
+    buf = buf.at[jnp.where(mvalid, offsets - 1, cap)].add(
+        0xD0 + ((gidx - 1) & 7), mode="drop")
+    return buf
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def assemble_stream_device(out, lens, *, cap: int):
+    """Single-device wire assembly: segments joined with RSTn markers in
+    one scatter. Returns ((cap,) uint8 buffer, total wire bytes)."""
+    S = out.shape[0]
+    gidx = jnp.arange(S)
+    offsets = jnp.cumsum(lens) - lens + 2 * gidx
+    total = offsets[-1] + lens[-1]
+    buf = stream_scatter(out, lens, offsets, gidx, S, cap)
+    return buf.astype(jnp.uint8), total
 
 
 def encode_scan_tpu(qcoefs: np.ndarray, comp_idx: np.ndarray,
@@ -355,6 +435,7 @@ def encode_scan_tpu(qcoefs: np.ndarray, comp_idx: np.ndarray,
     for i, c in enumerate(sched):
         prev_same[i] = last_seen.get(int(c), -1)
         last_seen[int(c)] = i
+    valid = (np.arange(n_segments * B) < n_blocks) if pad_blocks else None
     # typical segments are far below the theoretical worst case; start
     # with a lean buffer and escalate on the (reported) overflow
     # fallback size covers the absolute worst case: ≤208 raw bytes/block,
@@ -364,20 +445,12 @@ def encode_scan_tpu(qcoefs: np.ndarray, comp_idx: np.ndarray,
             jnp.asarray(q), jnp.asarray(ci), jnp.asarray(prev_same),
             jnp.asarray(dc_bits), jnp.asarray(dc_len), jnp.asarray(ac_bits),
             jnp.asarray(ac_len),
-            blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
+            blocks_per_segment=B, max_seg_bytes=max_seg_bytes,
+            valid=None if valid is None else jnp.asarray(valid))
         if not bool(overflow):
             break
     else:
         raise ValueError("device entropy encode overflow")
     out = np.asarray(out)
     lens = np.asarray(lens)
-    segments = [out[s, :lens[s]].tobytes() for s in range(n_segments)]
-    if pad_blocks:
-        # the final short segment must not contain the padding blocks —
-        # host-encode it exactly (it is small)
-        from .scan import encode_scan
-        first = (n_segments - 1) * B
-        tail = encode_scan(qcoefs[first:], comp_idx[first:],
-                           n_blocks - first, tables)
-        segments[-1] = tail[0]
-    return segments
+    return [out[s, :lens[s]].tobytes() for s in range(n_segments)]

@@ -79,16 +79,45 @@ def distributed_psnr(mesh: Mesh, a, b):
 
 
 def rate_estimate_bits(qcoefs):
-    """Entropy-rate proxy per block: total magnitude size categories.
+    """Entropy-rate proxy per block: total magnitude size categories,
+    computed with integer compares (no float log2 drift hazard).
 
     Matches the magnitude-bit count of the real coder exactly (code bits
-    excluded); used for the segment rate exchange."""
-    mag = jnp.abs(qcoefs)
-    # size category = bit_length = ceil(log2(|v|+1))
-    size = jnp.where(mag > 0,
-                     jnp.floor(jnp.log2(mag.astype(jnp.float32)) + 1e-6)
-                     .astype(jnp.int32) + 1, 0)
-    return jnp.sum(size, axis=-1)
+    excluded). For the true coded size including Huffman code bits, ZRL
+    splitting and EOB, see rate_exact_bits / tpu_encode.segment_coded_bits.
+    """
+    from ..entropy.tpu_encode import _size_category
+
+    return jnp.sum(_size_category(qcoefs), axis=-1)
+
+
+@functools.lru_cache(maxsize=1)
+def _luma_rate_tables():
+    """Annex-K luma encoder tables in device layout — the default tables
+    for exact rate estimation on raw block batches (no header context)."""
+    from ..entropy.tables import pack_encoder_tables
+    from ..entropy.tpu_encode import device_encoder_tables
+    from ..model.encoder import Parameters
+
+    p = Parameters.c420(16, 16, 75)
+    tabs = pack_encoder_tables([p.dc_huffman_tables[0].data],
+                               [p.ac_huffman_tables[0].data])
+    import numpy as np
+
+    return tuple(np.asarray(t) for t in device_encoder_tables(tabs))
+
+
+def rate_exact_bits(qcoefs, dc_bits, dc_len, ac_bits, ac_len):
+    """Exact coded bits per block, each block treated as its own restart
+    segment (DC predictor resets, so DC diff = DC — the maximally
+    parallel-decodable stream this framework emits at restart_interval=1).
+    Equals 8·len(segment) − flush padding of the host coder per block."""
+    from ..entropy import tpu_encode
+
+    n = qcoefs.shape[0]
+    return tpu_encode.segment_coded_bits(
+        qcoefs, jnp.zeros(n, jnp.int32), jnp.full((1,), -1, jnp.int32),
+        dc_bits, dc_len, ac_bits, ac_len, blocks_per_segment=1)
 
 
 def sharded_decode_e2e(mesh: Mesh, segbytes, seg_blocks, comp_sched,
@@ -139,30 +168,35 @@ def mjpeg_codec_step(mesh: Mesh, frames_pixels, quant):
     quant: (N, 64) int32, replicated.
     Returns (qcoefs, recon, rates, psnr):
       qcoefs (F, N, 64) sharded; recon (F, N, 8, 8) sharded;
-      rates (F,) magnitude-bit totals per frame (replicated);
+      rates (F,) exact coded bits per frame (replicated) — every block a
+      1-block restart segment under the Annex-K luma tables, i.e. the true
+      pre-padding wire size of the restart_interval=1 stream;
       psnr scalar.
     """
     fspec = P("data", "seg", None, None)
     # quant rows follow the block axis → sharded over 'seg' like the blocks
     qspec = P("seg", None)
+    tabs = tuple(map(jnp.asarray, _luma_rate_tables()))
+    tab_specs = tuple(P(*([None] * t.ndim)) for t in tabs)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(fspec, qspec),
+        in_specs=(fspec, qspec) + tab_specs,
         out_specs=(P("data", "seg", None), fspec, P("data")),
     )
-    def step(px, q):
+    def step(px, q, *tabs):
         f, n = px.shape[0], px.shape[1]
         flat = px.reshape(f * n, 8, 8)
         qrep = jnp.tile(q, (f, 1))
         qc = datapath.encode_datapath_jnp(flat, qrep)
-        # rate exchange: per-frame magnitude bits, summed across segments
-        rate_local = jnp.sum(rate_estimate_bits(qc).reshape(f, n), axis=1)
+        # rate exchange: exact per-frame coded bits, summed across segments
+        rate_local = jnp.sum(rate_exact_bits(qc, *tabs).reshape(f, n),
+                             axis=1)
         rate_frame = jax.lax.psum(rate_local, "seg")
         recon = datapath.decode_datapath_jnp(qc, qrep)
         return (qc.reshape(f, n, 64), recon.reshape(f, n, 8, 8), rate_frame)
 
-    qcoefs, recon, rates = step(frames_pixels, quant)
+    qcoefs, recon, rates = step(frames_pixels, quant, *tabs)
     psnr = distributed_psnr(
         mesh,
         frames_pixels.astype(jnp.int32).reshape(-1),

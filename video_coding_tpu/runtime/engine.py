@@ -32,6 +32,48 @@ from ..entropy import scan as entropy_scan
 from ..entropy.tables import pack_decoder_tables, pack_encoder_tables
 from ..ops import datapath
 
+try:  # jax >= 0.8 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _mesh_devices(mesh) -> int:
+    return int(mesh.size) if mesh is not None else 1
+
+
+def _pad_segments_for_mesh(segbytes: np.ndarray, seg_blocks: np.ndarray,
+                           n_devices: int):
+    """Append empty segments (0 blocks) so the lane axis divides the mesh;
+    their lanes terminate immediately and decode to dropped zero blocks."""
+    s = segbytes.shape[0]
+    sp = -(-s // n_devices) * n_devices
+    if sp != s:
+        segbytes = np.pad(segbytes, ((0, sp - s), (0, 0)))
+        seg_blocks = np.pad(seg_blocks, (0, sp - s))
+    return segbytes, seg_blocks
+
+
+def _shard_map_unchecked(fn, mesh, in_specs, out_specs):
+    """shard_map with the replication (VMA) checker off: outputs derived
+    from all_gather'd lengths are replicated by construction, but the
+    static checker cannot infer that."""
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax spells it check_rep
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def _shard_linear_index(mesh):
+    """Traceable flattened device index over every mesh axis (row-major in
+    axis order) — locates a shard's segments in the global wire layout."""
+    idx = jnp.zeros((), jnp.int32)
+    for ax in mesh.axis_names:
+        idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+    return idx
+
 
 def _pipelined_map(fn, items, depth: int):
     """Ordered generator over ``fn(item)`` with up to ``depth`` items in
@@ -81,7 +123,7 @@ class JpegDecoderSession:
 
     def __init__(self, header: Header, impl: str = "auto",
                  entropy: str = "native", coef_transfer: str = "auto",
-                 device_huffman: str = "range"):
+                 device_huffman: str = "range", mesh=None):
         """entropy: 'native' (C++ threads), 'python' (fallback spec), or
         'tpu' (vectorized on-device Huffman loop, one segment per lane).
         coef_transfer: 'dense', 'sparse' (bitmask+values upload for the
@@ -90,12 +132,18 @@ class JpegDecoderSession:
         device_huffman: codeword strategy of the on-device entropy loop —
         'range' (canonical-range compares, tiny tables, XLA while_loop),
         'lut' (flat 2^16 gather), or 'pallas' (range compares with the
-        whole symbol loop resident in VMEM — entropy/pallas_decode.py)."""
+        whole symbol loop resident in VMEM — entropy/pallas_decode.py).
+        mesh: optional jax.sharding.Mesh — the fused device decode then
+        shards restart segments over every mesh axis (the Huffman
+        while_loop runs per shard; the datapath and plane assembly are
+        GSPMD-partitioned from the sharded coefficients). Requires a
+        restart-segmented stream, like every device entropy path."""
         self.header = header
         self.impl = impl
         self.entropy = entropy
         self.coef_transfer = coef_transfer
         self.device_huffman = device_huffman
+        self.mesh = mesh
         # geometry via the golden model's component planner
         probe = Decoder(header, BitReader(b"\x00"))
         self.components = probe.components
@@ -272,6 +320,8 @@ class JpegDecoderSession:
         seg_blocks = np.full(S, B, dtype=np.int32)
         if self.n_blocks % B:
             seg_blocks[-1] = self.n_blocks % B
+        segbytes, seg_blocks = _pad_segments_for_mesh(
+            segbytes, seg_blocks, _mesh_devices(self.mesh))
         # bucket the byte length to bound recompiles
         L = 1 << max(8, (segbytes.shape[1] - 1).bit_length())
         if L > segbytes.shape[1]:
@@ -320,17 +370,47 @@ class JpegDecoderSession:
             decode_fn = tpu_decode.decode_segments_device
         return decode_fn, lut_args
 
-    def _build_device_e2e_jit(self, L: int):
+    def _entropy_graph(self):
+        """Traceable segments→coefficients graph. With a mesh, the
+        per-lane Huffman while_loop runs inside shard_map with lanes
+        (restart segments) sharded over every mesh axis — each device's
+        loop terminates on its local lanes, with no cross-device sync per
+        iteration (the multi-chip generalization of the reference's
+        single entropy pipe, decoder.ml:31-97)."""
         B = self.blocks_per_segment
-        n_blocks = self.n_blocks
         comp_sched = jnp.asarray(self.comp_idx[:B])
         decode_fn, lut_args = self._device_decode_fn()
+        if self.mesh is None:
+            def run(segbytes, seg_blocks):
+                return decode_fn(segbytes, seg_blocks, comp_sched,
+                                 *lut_args, blocks_per_segment=B)
+            return run
+
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        axes = tuple(mesh.axis_names)
+        in_specs = ((P(axes, None), P(axes), P(None))
+                    + tuple(P(*([None] * a.ndim)) for a in lut_args))
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                           out_specs=P(axes, None, None))
+        def sharded(segb, segn, sched, *luts):
+            return decode_fn(segb, segn, sched, *luts,
+                             blocks_per_segment=B)
+
+        def run(segbytes, seg_blocks):
+            return sharded(segbytes, seg_blocks, comp_sched, *lut_args)
+
+        return run
+
+    def _build_device_e2e_jit(self, L: int):
+        n_blocks = self.n_blocks
+        entropy_fn = self._entropy_graph()
 
         @jax.jit
         def run(segbytes, seg_blocks):
-            coefs3 = decode_fn(
-                segbytes, seg_blocks, comp_sched, *lut_args,
-                blocks_per_segment=B)
+            coefs3 = entropy_fn(segbytes, seg_blocks)
             return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
 
         return run
@@ -359,14 +439,16 @@ class JpegDecoderSession:
                 raise DecodeError("restart segment count mismatch")
             all_segments.extend(segs)
         segbytes, _ = tpu_decode.pack_segments(all_segments)
-        L = 1 << max(8, (segbytes.shape[1] - 1).bit_length())
-        if L > segbytes.shape[1]:
-            segbytes = np.pad(segbytes,
-                              ((0, 0), (0, L - segbytes.shape[1])))
         seg_blocks = np.full(n_seg, B, dtype=np.int32)
         if self.n_blocks % B:
             seg_blocks[-1] = self.n_blocks % B
         seg_blocks = np.tile(seg_blocks, F)
+        segbytes, seg_blocks = _pad_segments_for_mesh(
+            segbytes, seg_blocks, _mesh_devices(self.mesh))
+        L = 1 << max(8, (segbytes.shape[1] - 1).bit_length())
+        if L > segbytes.shape[1]:
+            segbytes = np.pad(segbytes,
+                              ((0, 0), (0, L - segbytes.shape[1])))
         fn = self._device_e2e_batch_jit(F, L)
         return fn(jnp.asarray(segbytes), jnp.asarray(seg_blocks))
 
@@ -378,15 +460,14 @@ class JpegDecoderSession:
         B = self.blocks_per_segment
         n_blocks = self.n_blocks
         n_seg = (n_blocks + B - 1) // B
-        comp_sched = jnp.asarray(self.comp_idx[:B])
-        decode_fn, lut_args = self._device_decode_fn()
+        entropy_fn = self._entropy_graph()
 
         @jax.jit
         def run(segbytes, seg_blocks):
-            coefs3 = decode_fn(
-                segbytes, seg_blocks, comp_sched, *lut_args,
-                blocks_per_segment=B)
-            coefs = coefs3.reshape(F, n_seg * B, 64)[:, :n_blocks, :]
+            coefs3 = entropy_fn(segbytes, seg_blocks)
+            # mesh-divisibility padding segments trail the real ones
+            coefs = coefs3[:F * n_seg].reshape(
+                F, n_seg * B, 64)[:, :n_blocks, :]
             return self._decode_tail_batch(coefs.reshape(-1, 64), F)
 
         return run
@@ -524,15 +605,22 @@ class JpegEncoderSession:
 
     def __init__(self, params: Parameters, restart_interval: int = 0,
                  impl: str = "auto", entropy: str = "native",
-                 coef_transfer: str = "auto"):
+                 coef_transfer: str = "auto", mesh=None):
         """entropy: 'native' (C++ threads), 'python', or 'tpu' (on-device
         scan+scatter bitstream packing). coef_transfer: 'dense', 'sparse'
         (bitmask+values download of the quantized coefficients — ~4-6x
-        less interconnect traffic), or 'auto' (sparse on TPU)."""
+        less interconnect traffic), or 'auto' (sparse on TPU).
+        mesh: optional jax.sharding.Mesh — the fused device encode then
+        shards restart segments over every mesh axis; per-segment byte
+        lengths are exchanged with an all_gather and the wire stream is
+        assembled on device (disjoint scatters + psum), the TPU-native
+        replacement for the reference's FIFO chain between entropy stages
+        (bytestream_decoder.ml:257-289)."""
         self.params = params
         self.impl = impl
         self.entropy = entropy
         self.coef_transfer = coef_transfer
+        self.mesh = mesh
         probe = Encoder(params, restart_interval=restart_interval)
         self.scans = probe.scans
         self._probe = probe
@@ -709,31 +797,27 @@ class JpegEncoderSession:
     # -- fully on-device encode (numerics + entropy fused in one jit) -----
     def encode_device(self, frame) -> bytes:
         """Planes → JPEG with the block numerics AND the entropy packing on
-        device in one jit graph. Only planes go up and the packed segment
-        bytes come back."""
-        planes = self.load_planes(frame)
+        device in one jit graph. Only planes go up and the assembled wire
+        bytes (segments + RSTn, one buffer) come back."""
+        return self.encode_planes_device(self.load_planes(frame))
+
+    def encode_planes_device(self, planes) -> bytes:
+        """Padded planes (numpy or device-resident) → JPEG bytes with the
+        entropy packing and stream assembly on device. With a mesh,
+        segments shard over every mesh axis and the per-segment length
+        exchange + wire assembly run as collectives."""
+        dev = [jnp.asarray(p) for p in planes]
         for msb in self._enc_budget_ladder():
-            out, lens, tail_q, overflow = self._device_e2e_enc_jit(msb)(
-                *[jnp.asarray(p) for p in planes])
+            buf, total, max_len, overflow = self._device_e2e_enc_jit(msb)(
+                *dev)
             if not bool(overflow):
                 break
         else:
             raise ValueError("device entropy encode overflow")
-        out = np.asarray(out)
-        lens = np.asarray(lens)
-        self._record_seg_bytes(lens.max(initial=0))
-        n_segments = out.shape[0]
-        segments = [out[s, :lens[s]].tobytes() for s in range(n_segments)]
-        B = self.blocks_per_segment
-        if self.n_blocks % B:
-            # final short segment: re-encode exactly on host from the
-            # (small) tail coefficients computed on device
-            first = (n_segments - 1) * B
-            tail = entropy_scan.encode_scan(
-                np.asarray(tail_q), self.comp_idx[first:],
-                self.n_blocks - first, self.tables)
-            segments[-1] = tail[0]
-        return self._assemble(segments)
+        self._record_seg_bytes(int(max_len))
+        body = np.asarray(buf[:int(total)]).tobytes()
+        return b"".join((self._header_bytes, body,
+                         bytes((0xFF, marker_codes.EOI))))
 
     def _device_e2e_enc_jit(self, max_seg_bytes: int):
         return self._cached_jit(("enc", max_seg_bytes),
@@ -746,75 +830,152 @@ class JpegEncoderSession:
             cache[key] = builder(*args)
         return cache[key]
 
-    def _build_device_e2e_enc_jit(self, max_seg_bytes: int):
+    def _enc_geometry(self, max_seg_bytes: int):
+        """Static geometry + device tables shared by the fused encode
+        builders: segments padded for mesh divisibility, per-block valid
+        mask, per-segment schedule, packed code tables, buffer caps."""
         from ..entropy import tpu_encode
 
         B = self.blocks_per_segment
         n_blocks = self.n_blocks
-        n_segments = (n_blocks + B - 1) // B
-        pad_blocks = n_segments * B - n_blocks
-        tail_count = n_blocks - (n_segments - 1) * B
-        comp_full = np.concatenate(
-            [self.comp_idx, np.zeros(pad_blocks, np.int32)])
-        comp_dev = jnp.asarray(comp_full)
-        sched = self.comp_idx[:B]
+        n_seg = (n_blocks + B - 1) // B
+        sp = -(-n_seg // _mesh_devices(self.mesh)) * _mesh_devices(self.mesh)
+        n_padded = sp * B
+        sched = np.resize(self.comp_idx[:B], B).astype(np.int32)
         prev_same = np.full(B, -1, dtype=np.int32)
         last_seen: dict[int, int] = {}
         for i, c in enumerate(sched):
             prev_same[i] = last_seen.get(int(c), -1)
             last_seen[int(c)] = i
-        prev_same_dev = jnp.asarray(prev_same)
-        dcb, dcl, acb, acl = tpu_encode.device_encoder_tables(self.tables)
-        dcb, dcl, acb, acl = map(jnp.asarray, (dcb, dcl, acb, acl))
+        valid = np.arange(n_padded) < n_blocks
+        tabs = tuple(map(jnp.asarray,
+                         tpu_encode.device_encoder_tables(self.tables)))
+        m_out = max_seg_bytes + max_seg_bytes // 4 + 8
+        cap = sp * m_out + 2 * sp   # worst-case wire bytes (static)
+        return (B, n_blocks, n_seg, sp, n_padded, jnp.asarray(sched),
+                jnp.asarray(prev_same), jnp.asarray(valid), tabs, cap)
+
+    def _build_device_e2e_enc_jit(self, max_seg_bytes: int):
+        from ..entropy import tpu_encode
+
+        (B, n_blocks, n_seg, sp, n_padded, sched_dev, prev_dev, valid_dev,
+         tabs, cap) = self._enc_geometry(max_seg_bytes)
+        pack = self._pack_graph(max_seg_bytes, frames=1)
 
         @jax.jit
         def run(*planes):
             qc = self._encode_qc(planes)
-            if pad_blocks:
-                qc_padded = jnp.concatenate(
-                    [qc, jnp.zeros((pad_blocks, 64), jnp.int32)])
-            else:
-                qc_padded = qc
-            out, lens, overflow = tpu_encode.encode_segments_device(
-                qc_padded, comp_dev, prev_same_dev, dcb, dcl, acb, acl,
-                blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
-            tail_q = qc[n_blocks - tail_count:]
-            return out, lens, tail_q, overflow
+            if n_padded != n_blocks:
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((n_padded - n_blocks, 64), jnp.int32)])
+            bufs, totals, max_len, overflow = pack(
+                qc.reshape(sp, B, 64), valid_dev.reshape(sp, B),
+                sched_dev, prev_dev, *tabs)
+            return bufs[0], totals[0], max_len, overflow
+
+        return run
+
+    def _pack_graph(self, max_seg_bytes: int, frames: int):
+        """Traceable (F·Sp, B, 64) coefficients → per-frame wire buffers.
+
+        Single device: per-segment pack + one assembly scatter per frame.
+        Mesh: segments shard over every mesh axis; lengths are exchanged
+        with an all_gather over the mesh, every shard scatters its
+        segments (and their RSTn markers) into the global wire layout, and
+        a psum combines the disjoint partial buffers — the encoder-side
+        offset-exchange collective of SURVEY.md §7.6.
+
+        Returns fn(qc_seg, valid_seg, sched, prev, *tabs) →
+        (bufs (F, CAP) uint8, totals (F,), max_len, overflow)."""
+        from ..entropy import tpu_encode
+
+        (B, n_blocks, n_seg, sp, _n_padded, _sched, _prev, _valid, _tabs,
+         cap) = self._enc_geometry(max_seg_bytes)
+        F = frames
+
+        if self.mesh is None:
+            def run(qc_seg, valid_seg, sched, prev, *tabs):
+                s_total = qc_seg.shape[0]
+                comp = jnp.tile(sched, s_total)
+                out, lens, ovf = tpu_encode.encode_segments_device(
+                    qc_seg.reshape(-1, 64), comp, prev, *tabs,
+                    blocks_per_segment=B, max_seg_bytes=max_seg_bytes,
+                    valid=valid_seg.reshape(-1))
+                out_f = out.reshape(F, sp, -1)
+                lens_f = lens.reshape(F, sp)
+
+                def one(o, l):
+                    return tpu_encode.assemble_stream_device(
+                        o[:n_seg], l[:n_seg], cap=cap)
+
+                bufs, totals = jax.vmap(one)(out_f, lens_f)
+                return bufs, totals, jnp.max(lens_f[:, :n_seg]), ovf
+
+            return run
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        axes = tuple(mesh.axis_names)
+        tab_specs = tuple(P(*([None] * t.ndim)) for t in _tabs)
+
+        @functools.partial(
+            _shard_map_unchecked, mesh=mesh,
+            in_specs=(P(axes, None, None), P(axes, None), P(None), P(None))
+            + tab_specs,
+            out_specs=(P(), P(), P(), P()))
+        def sharded(qc_seg, valid_seg, sched, prev, *tabs):
+            s_local = qc_seg.shape[0]
+            comp = jnp.tile(sched, s_local)
+            out, lens, ovf = tpu_encode.encode_segments_device(
+                qc_seg.reshape(-1, 64), comp, prev, *tabs,
+                blocks_per_segment=B, max_seg_bytes=max_seg_bytes,
+                valid=valid_seg.reshape(-1))
+            # ---- segment-length exchange + device-side wire assembly ----
+            lens_all = jax.lax.all_gather(lens, axes, axis=0, tiled=True)
+            lens_f = lens_all.reshape(F, sp)
+            off_f = (jnp.cumsum(lens_f, axis=1) - lens_f
+                     + 2 * jnp.arange(sp)[None, :])
+            gidx = _shard_linear_index(mesh) * s_local + jnp.arange(s_local)
+            f = gidx // sp
+            gin = gidx % sp
+            part = tpu_encode.stream_scatter(
+                out, lens, off_f[f, gin] + f * cap, gin, n_seg, F * cap)
+            buf = jax.lax.psum(part, axes)
+            totals = off_f[:, n_seg - 1] + lens_f[:, n_seg - 1]
+            ovf_all = jax.lax.pmax(ovf.astype(jnp.int32), axes) > 0
+            return (buf.reshape(F, cap).astype(jnp.uint8), totals,
+                    jnp.max(lens_f[:, :n_seg]), ovf_all)
+
+        def run(qc_seg, valid_seg, sched, prev, *tabs):
+            qc_seg = jax.lax.with_sharding_constraint(
+                qc_seg, NamedSharding(mesh, P(axes, None, None)))
+            return sharded(qc_seg, valid_seg, sched, prev, *tabs)
 
         return run
 
     def encode_device_batch(self, frames: list) -> list[bytes]:
         """Batched fused encode: one jit call runs numerics + entropy
-        packing for every frame; hosts only assemble headers/markers."""
+        packing + per-frame wire assembly for every frame; the host only
+        prepends headers."""
         planes = [self.load_planes(f) for f in frames]
         stacked = [jnp.asarray(np.stack([p[i] for p in planes]))
                    for i in range(len(self.scans))]
         F = len(frames)
         for msb in self._enc_budget_ladder():
-            out, lens, tails, overflow = self._device_e2e_enc_batch_jit(
+            bufs, totals, max_len, overflow = self._device_e2e_enc_batch_jit(
                 F, msb)(*stacked)
             if not bool(overflow):
                 break
         else:
             raise ValueError("device entropy encode overflow")
-        out = np.asarray(out)
-        lens = np.asarray(lens)
-        tails = np.asarray(tails)
-        self._record_seg_bytes(lens.max(initial=0))
-        B = self.blocks_per_segment
-        n_seg = (self.n_blocks + B - 1) // B
-        results = []
-        for f in range(F):
-            segs = [out[f * n_seg + s, :lens[f * n_seg + s]].tobytes()
-                    for s in range(n_seg)]
-            if self.n_blocks % B:
-                first = (n_seg - 1) * B
-                tail = entropy_scan.encode_scan(
-                    tails[f], self.comp_idx[first:],
-                    self.n_blocks - first, self.tables)
-                segs[-1] = tail[0]
-            results.append(self._assemble(segs))
-        return results
+        self._record_seg_bytes(int(max_len))
+        totals = np.asarray(totals)
+        hdr = self._header_bytes
+        eoi = bytes((0xFF, marker_codes.EOI))
+        return [b"".join((hdr, np.asarray(bufs[f, :totals[f]]).tobytes(),
+                          eoi))
+                for f in range(F)]
 
     def _device_e2e_enc_batch_jit(self, F: int, max_seg_bytes: int):
         return self._cached_jit(("enc_batch", F, max_seg_bytes),
@@ -822,41 +983,22 @@ class JpegEncoderSession:
                                 F, max_seg_bytes)
 
     def _build_device_e2e_enc_batch_jit(self, F: int, max_seg_bytes: int):
-        from ..entropy import tpu_encode
-
-        B = self.blocks_per_segment
-        n_blocks = self.n_blocks
-        n_segments = (n_blocks + B - 1) // B
-        pad_blocks = n_segments * B - n_blocks
-        tail_count = n_blocks - (n_segments - 1) * B
-        comp_one = np.concatenate(
-            [self.comp_idx, np.zeros(pad_blocks, np.int32)])
-        comp_dev = jnp.asarray(np.tile(comp_one, F))
-        sched = self.comp_idx[:B]
-        prev_same = np.full(B, -1, dtype=np.int32)
-        last_seen: dict[int, int] = {}
-        for i, c in enumerate(sched):
-            prev_same[i] = last_seen.get(int(c), -1)
-            last_seen[int(c)] = i
-        prev_same_dev = jnp.asarray(prev_same)
-        dcb, dcl, acb, acl = tpu_encode.device_encoder_tables(self.tables)
-        dcb, dcl, acb, acl = map(jnp.asarray, (dcb, dcl, acb, acl))
+        (B, n_blocks, n_seg, sp, n_padded, sched_dev, prev_dev, valid_dev,
+         tabs, cap) = self._enc_geometry(max_seg_bytes)
+        pack = self._pack_graph(max_seg_bytes, frames=F)
+        valid_batch = jnp.tile(valid_dev, F)
 
         @jax.jit
         def run(*planes_batched):
             qc = self._encode_qc_batch(planes_batched, F)
             qc = qc.reshape(F, n_blocks, 64)
-            if pad_blocks:
-                qc_padded = jnp.concatenate(
-                    [qc, jnp.zeros((F, pad_blocks, 64), jnp.int32)], axis=1)
-            else:
-                qc_padded = qc
-            out, lens, overflow = tpu_encode.encode_segments_device(
-                qc_padded.reshape(-1, 64), comp_dev, prev_same_dev,
-                dcb, dcl, acb, acl,
-                blocks_per_segment=B, max_seg_bytes=max_seg_bytes)
-            tails = qc[:, n_blocks - tail_count:, :]
-            return out, lens, tails, overflow
+            if n_padded != n_blocks:
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((F, n_padded - n_blocks, 64), jnp.int32)],
+                    axis=1)
+            return pack(qc.reshape(F * sp, B, 64),
+                        valid_batch.reshape(F * sp, B),
+                        sched_dev, prev_dev, *tabs)
 
         return run
 
@@ -1001,13 +1143,15 @@ class JpegTranscodeSession:
 
     def __init__(self, header: Header, quality: int = 75,
                  restart_interval: int = 0, impl: str = "auto",
-                 entropy_out: str = "host"):
+                 entropy_out: str = "host", mesh=None):
         """entropy_out: 'host' re-encodes the entropy on the host C++
         engine after a sparse coefficient download (the measured-fastest
         decode+encode path), 'device' keeps the bitstream packing on
-        device (fully device-resident, minimal host traffic)."""
+        device (fully device-resident, minimal host traffic).
+        mesh: optional Mesh — both halves then shard restart segments
+        over the mesh (see the sessions' mesh parameter)."""
         self.entropy_out = entropy_out
-        self.decoder = JpegDecoderSession(header, impl=impl)
+        self.decoder = JpegDecoderSession(header, impl=impl, mesh=mesh)
         frame_hdr = header.frame
         n = len(frame_hdr.components)
         if n == 3:
@@ -1023,7 +1167,7 @@ class JpegTranscodeSession:
         else:
             raise DecodeError("transcode supports 3-component scans")
         self.encoder = JpegEncoderSession(params, restart_interval,
-                                          impl=impl)
+                                          impl=impl, mesh=mesh)
         for comp, scan in zip(self.decoder.components, self.encoder.scans):
             if (comp.decoded_height, comp.decoded_width) != \
                     (scan.plane.height, scan.plane.width):
@@ -1045,26 +1189,7 @@ class JpegTranscodeSession:
         enc = self.encoder
         if self.entropy_out == "host":
             return enc.encode_planes(cleaned)
-        B = enc.blocks_per_segment
-        for msb in enc._enc_budget_ladder():
-            out, lens, tail_q, overflow = enc._device_e2e_enc_jit(msb)(
-                *cleaned)
-            if not bool(overflow):
-                break
-        else:
-            raise ValueError("device entropy encode overflow")
-        out = np.asarray(out)
-        lens = np.asarray(lens)
-        enc._record_seg_bytes(lens.max(initial=0))
-        n_segments = out.shape[0]
-        segments = [out[s, :lens[s]].tobytes() for s in range(n_segments)]
-        if enc.n_blocks % B:
-            first = (n_segments - 1) * B
-            tail = entropy_scan.encode_scan(
-                np.asarray(tail_q), enc.comp_idx[first:],
-                enc.n_blocks - first, enc.tables)
-            segments[-1] = tail[0]
-        return enc._assemble(segments)
+        return enc.encode_planes_device(cleaned)
 
     def transcode_iter(self, entropy_iter, depth: int = 2):
         """Pipelined streaming transcode: an ordered generator of JPEG
