@@ -22,6 +22,13 @@ from .pipeline import (
     sharded_decode_e2e,
     mjpeg_codec_step,
     distributed_psnr,
+    rate_estimate_bits,
+    rate_exact_bits,
+)
+from .multihost import (
+    global_codec_mesh,
+    local_frames_to_global,
+    mjpeg_multihost_step,
 )
 
 __all__ = [
@@ -32,4 +39,9 @@ __all__ = [
     "sharded_decode_e2e",
     "mjpeg_codec_step",
     "distributed_psnr",
+    "rate_estimate_bits",
+    "rate_exact_bits",
+    "global_codec_mesh",
+    "local_frames_to_global",
+    "mjpeg_multihost_step",
 ]

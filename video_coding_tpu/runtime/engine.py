@@ -75,6 +75,35 @@ def _shard_linear_index(mesh):
     return idx
 
 
+def _global_input(x, mesh, spec):
+    """Host array → device array sharded per spec over the mesh.
+
+    Works in multi-controller runs (every process holds the full host
+    array and contributes its addressable shards) and degenerates to a
+    plain transfer on a single process/no mesh."""
+    if mesh is None:
+        return jnp.asarray(x)
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def _replicated(mesh):
+    """out_shardings pytree prefix: fully replicated over the mesh (so
+    every process of a multi-controller run can read the result), or None
+    (let XLA choose) without a mesh."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P())
+
+
 def _pipelined_map(fn, items, depth: int):
     """Ordered generator over ``fn(item)`` with up to ``depth`` items in
     flight on worker threads. The per-frame work (C++ entropy, device
@@ -328,7 +357,11 @@ class JpegDecoderSession:
             segbytes = np.pad(segbytes,
                               ((0, 0), (0, L - segbytes.shape[1])))
         fn = self._device_e2e_jit(L)
-        return fn(jnp.asarray(segbytes), jnp.asarray(seg_blocks))
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(self.mesh.axis_names) if self.mesh is not None else ()
+        return fn(_global_input(segbytes, self.mesh, P(axes, None)),
+                  _global_input(seg_blocks, self.mesh, P(axes)))
 
     def decode_device(self, entropy_data: bytes) -> Frame:
         return self._to_frame(self.decode_device_e2e(entropy_data))
@@ -408,12 +441,11 @@ class JpegDecoderSession:
         n_blocks = self.n_blocks
         entropy_fn = self._entropy_graph()
 
-        @jax.jit
         def run(segbytes, seg_blocks):
             coefs3 = entropy_fn(segbytes, seg_blocks)
             return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
 
-        return run
+        return jax.jit(run, out_shardings=_replicated(self.mesh))
 
     def decode_device_batch(self, entropy_list: list[bytes]):
         """Batched fused decode: all frames' restart segments become one
@@ -450,7 +482,11 @@ class JpegDecoderSession:
             segbytes = np.pad(segbytes,
                               ((0, 0), (0, L - segbytes.shape[1])))
         fn = self._device_e2e_batch_jit(F, L)
-        return fn(jnp.asarray(segbytes), jnp.asarray(seg_blocks))
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(self.mesh.axis_names) if self.mesh is not None else ()
+        return fn(_global_input(segbytes, self.mesh, P(axes, None)),
+                  _global_input(seg_blocks, self.mesh, P(axes)))
 
     def _device_e2e_batch_jit(self, F: int, L: int):
         return self._cached_jit(("e2e_batch", F, L),
@@ -462,7 +498,6 @@ class JpegDecoderSession:
         n_seg = (n_blocks + B - 1) // B
         entropy_fn = self._entropy_graph()
 
-        @jax.jit
         def run(segbytes, seg_blocks):
             coefs3 = entropy_fn(segbytes, seg_blocks)
             # mesh-divisibility padding segments trail the real ones
@@ -470,7 +505,7 @@ class JpegDecoderSession:
                 F, n_seg * B, 64)[:, :n_blocks, :]
             return self._decode_tail_batch(coefs.reshape(-1, 64), F)
 
-        return run
+        return jax.jit(run, out_shardings=_replicated(self.mesh))
 
     def _rgb_tail(self, planes):
         """Decoded padded planes → (H, W, 3) uint8 RGB (traceable)."""
@@ -806,7 +841,9 @@ class JpegEncoderSession:
         entropy packing and stream assembly on device. With a mesh,
         segments shard over every mesh axis and the per-segment length
         exchange + wire assembly run as collectives."""
-        dev = [jnp.asarray(p) for p in planes]
+        from jax.sharding import PartitionSpec as P
+
+        dev = [_global_input(p, self.mesh, P()) for p in planes]
         for msb in self._enc_budget_ladder():
             buf, total, max_len, overflow = self._device_e2e_enc_jit(msb)(
                 *dev)
@@ -862,7 +899,6 @@ class JpegEncoderSession:
          tabs, cap) = self._enc_geometry(max_seg_bytes)
         pack = self._pack_graph(max_seg_bytes, frames=1)
 
-        @jax.jit
         def run(*planes):
             qc = self._encode_qc(planes)
             if n_padded != n_blocks:
@@ -873,7 +909,7 @@ class JpegEncoderSession:
                 sched_dev, prev_dev, *tabs)
             return bufs[0], totals[0], max_len, overflow
 
-        return run
+        return jax.jit(run, out_shardings=_replicated(self.mesh))
 
     def _pack_graph(self, max_seg_bytes: int, frames: int):
         """Traceable (F·Sp, B, 64) coefficients → per-frame wire buffers.
@@ -958,8 +994,11 @@ class JpegEncoderSession:
         """Batched fused encode: one jit call runs numerics + entropy
         packing + per-frame wire assembly for every frame; the host only
         prepends headers."""
+        from jax.sharding import PartitionSpec as P
+
         planes = [self.load_planes(f) for f in frames]
-        stacked = [jnp.asarray(np.stack([p[i] for p in planes]))
+        stacked = [_global_input(np.stack([p[i] for p in planes]),
+                                 self.mesh, P())
                    for i in range(len(self.scans))]
         F = len(frames)
         for msb in self._enc_budget_ladder():
@@ -988,7 +1027,6 @@ class JpegEncoderSession:
         pack = self._pack_graph(max_seg_bytes, frames=F)
         valid_batch = jnp.tile(valid_dev, F)
 
-        @jax.jit
         def run(*planes_batched):
             qc = self._encode_qc_batch(planes_batched, F)
             qc = qc.reshape(F, n_blocks, 64)
@@ -1000,7 +1038,7 @@ class JpegEncoderSession:
                         valid_batch.reshape(F * sp, B),
                         sched_dev, prev_dev, *tabs)
 
-        return run
+        return jax.jit(run, out_shardings=_replicated(self.mesh))
 
     # -- batched (Motion-JPEG) --------------------------------------------
     def encode_batch(self, frames: list) -> list[bytes]:
