@@ -8,25 +8,38 @@ under Cyclesim without an FPGA — SURVEY.md §4).
 import os
 import sys
 
-# Tests must run on hermetic CPU devices. The baked sitecustomize registers
-# the remote-TPU (axon) plugin at *interpreter boot* whenever
+# Tests run on hermetic CPU devices by default. The baked sitecustomize
+# registers the remote-TPU (axon) plugin at *interpreter boot* whenever
 # PALLAS_AXON_POOL_IPS is set — that both overrides JAX_PLATFORMS=cpu and
 # couples every jax init to tunnel availability (which can wedge and hang
 # the process). Registration has already happened by the time conftest
 # runs, so the only clean fix is to re-exec pytest once with a scrubbed
 # environment before anything imports jax.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+#
+# The opt-in TPU lane (VCT_TPU_TESTS=1 python -m pytest -m tpu) keeps the
+# real backend instead: tests marked `tpu` exercise the Mosaic-compiled
+# Pallas kernels and fused sessions on the actual chip and self-skip when
+# the backend is not TPU.
+TPU_LANE = os.environ.get("VCT_TPU_TESTS") == "1"
 
-# The registration may have force-configured the axon platform already
-# (jax is imported at boot); override through the live config, which wins
-# over both the boot-time setting and the env var.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # The registration may have force-configured the axon platform already
+    # (jax is imported at boot); override through the live config, which
+    # wins over both the boot-time setting and the env var.
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # persistent cache: remote Pallas compiles through the tunnel are slow
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

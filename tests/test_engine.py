@@ -120,3 +120,51 @@ def test_pipelined_iter_apis_match_sequential(mini64_frames):
         for p in "yuv":
             assert np.array_equal(getattr(got, p).data,
                                   getattr(golden, p).data)
+
+
+def test_foreign_single_segment_stream_contract(mini64_frames, caplog):
+    """Foreign (no-DRI) streams: the documented contract — host entropy is
+    the production route; the device entropy path still decodes them
+    bit-exactly but serially on one lane and logs a warning (README
+    'Foreign-stream contract')."""
+    import logging
+
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.model.decoder import Header, decode_a_frame
+    from video_coding_tpu.model.encoder import Parameters
+    from video_coding_tpu.runtime.engine import JpegEncoderSession
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    # restart_interval=0 → a single-segment stream, like foreign JPEGs
+    stream = JpegEncoderSession(Parameters.c420(64, 64, 75),
+                                restart_interval=0).encode(src)
+    bits = BitReader(stream)
+    header = Header.decode(bits)
+    payload = stream[bits.bit_pos >> 3:]
+    golden = decode_a_frame(stream)
+
+    session = engine.JpegDecoderSession(header)
+    assert session.entropy_segments_per_frame == 1
+    assert not session.device_entropy_parallel
+
+    # host route: bit-exact, no warning
+    got = session.decode(payload)
+    for p in "yuv":
+        assert np.array_equal(getattr(got, p).data, getattr(golden, p).data)
+
+    # device route: bit-exact too, but flags the serial lane
+    with caplog.at_level(logging.WARNING, logger="video_coding_tpu"):
+        got_dev = session.decode_device(payload)
+    assert any("single-segment" in r.message for r in caplog.records)
+    for p in "yuv":
+        assert np.array_equal(getattr(got_dev, p).data,
+                              getattr(golden, p).data)
+
+    # a restart-segmented session reports parallel lanes and stays quiet
+    stream_ri = JpegEncoderSession(Parameters.c420(64, 64, 75),
+                                   restart_interval=1).encode(src)
+    bits = BitReader(stream_ri)
+    s2 = engine.JpegDecoderSession(Header.decode(bits))
+    assert s2.device_entropy_parallel
+    assert s2.entropy_segments_per_frame == 16

@@ -166,7 +166,19 @@ class JpegDecoderSession:
         shards restart segments over every mesh axis (the Huffman
         while_loop runs per shard; the datapath and plane assembly are
         GSPMD-partitioned from the sharded coefficients). Requires a
-        restart-segmented stream, like every device entropy path."""
+        restart-segmented stream, like every device entropy path.
+
+        Foreign-stream contract: device entropy parallelism comes from
+        restart segments (one device lane per segment). Streams without a
+        restart interval — most foreign camera/encoder JPEGs — have ONE
+        segment, so the device entropy paths (entropy='tpu',
+        decode_device*) still decode them bit-exactly but serially on a
+        single lane; ``device_entropy_parallel`` is False and the first
+        such device call logs a warning. The production route for foreign
+        streams is the default host path (``decode()`` with
+        entropy='native': multithreaded C++ entropy + device datapath) —
+        mirroring the reference's own asymmetry (full RTL decoder, but
+        DRI parsed-and-ignored: jpeg/README.md:36)."""
         self.header = header
         self.impl = impl
         self.entropy = entropy
@@ -208,7 +220,33 @@ class JpegDecoderSession:
             self.impl == "auto" and datapath._on_tpu())
         self._sparse = self.coef_transfer == "sparse" or (
             self.coef_transfer == "auto" and datapath._on_tpu())
+        self._warned_serial_entropy = False
         self._jit = self._build_jit()
+
+    @property
+    def entropy_segments_per_frame(self) -> int:
+        """Restart segments per frame = device entropy lanes available."""
+        return -(-self.n_blocks // self.blocks_per_segment)
+
+    @property
+    def device_entropy_parallel(self) -> bool:
+        """True when the stream is restart-segmented, i.e. the device
+        entropy paths have more than one lane. False for foreign
+        single-segment streams — see the class docstring's
+        foreign-stream contract."""
+        return self.entropy_segments_per_frame > 1
+
+    def _check_device_entropy_route(self) -> None:
+        if self.device_entropy_parallel or self._warned_serial_entropy:
+            return
+        self._warned_serial_entropy = True
+        import logging
+
+        logging.getLogger("video_coding_tpu").warning(
+            "decoding a single-segment (no restart interval) stream on "
+            "the device entropy path: one lane, serial — bit-exact but "
+            "slow; use the host entropy route (session.decode() with "
+            "entropy='native') for foreign streams")
 
     # -- shared traceable datapath tails ------------------------------------
     def _decode_tail(self, coefs):
@@ -263,6 +301,7 @@ class JpegDecoderSession:
             return coefs
         self.last_damaged_segments = []
         if self.entropy == "tpu":
+            self._check_device_entropy_route()
             segments = entropy_scan.destuff_segments(entropy_data)
             from ..entropy.tpu_decode import decode_scan_tpu
             return decode_scan_tpu(segments, self.comp_idx,
@@ -338,6 +377,7 @@ class JpegDecoderSession:
         bottleneck."""
         from ..entropy import tpu_decode
 
+        self._check_device_entropy_route()
         segments = entropy_scan.destuff_segments(entropy_data)
         segbytes, _lens = tpu_decode.pack_segments(segments)
         S = len(segments)
@@ -461,6 +501,7 @@ class JpegDecoderSession:
         slicing) — the form batched device consumers want."""
         from ..entropy import tpu_decode
 
+        self._check_device_entropy_route()
         F = len(entropy_list)
         B = self.blocks_per_segment
         n_seg = (self.n_blocks + B - 1) // B
