@@ -149,3 +149,62 @@ def test_tpu_decode_corrupt_stream_terminates():
     comp_idx = np.zeros(4, dtype=np.int32)
     out = decode_scan_tpu([b"\xaa\x55" * 8], comp_idx, 4, dec_tabs)
     assert out.shape == (4, 64)
+
+
+def test_pallas_packer_bit_identical_to_xla():
+    """entropy/pallas_encode: the VMEM-resident pack+stuff kernel matches
+    the XLA gather packer byte for byte (interpret mode on CPU), across
+    sparse→dense content, a valid mask, and overflow reporting."""
+    import jax.numpy as jnp
+
+    from video_coding_tpu.entropy import pallas_encode, tpu_encode
+    from video_coding_tpu.entropy.tables import pack_encoder_tables
+    from video_coding_tpu.model.encoder import Parameters
+
+    rng = np.random.default_rng(0)
+    p = Parameters.c420(16, 16, 75)
+    tabs = pack_encoder_tables([p.dc_huffman_tables[0].data],
+                               [p.ac_huffman_tables[0].data])
+    dcb, dcl, acb, acl = map(jnp.asarray,
+                             tpu_encode.device_encoder_tables(tabs))
+    N, B = 48, 6
+    prev = np.full(B, -1, np.int32)
+    prev[1:] = np.arange(B - 1)
+    for density in (0.05, 0.4, 0.9):
+        q = rng.integers(-80, 80, size=(N, 64)).astype(np.int32)
+        q[rng.random((N, 64)) > density] = 0
+        valid = np.arange(N) < N - 3
+        args = (jnp.asarray(q), jnp.asarray(np.zeros(N, np.int32)),
+                jnp.asarray(prev), dcb, dcl, acb, acl)
+        kw = dict(blocks_per_segment=B, max_seg_bytes=B * 512 + 64,
+                  valid=jnp.asarray(valid))
+        o1, l1, v1 = tpu_encode.encode_segments_device(*args, **kw)
+        o2, l2, v2 = pallas_encode.encode_segments_pallas(*args, **kw)
+        assert not bool(v1) and not bool(v2)
+        o1, l1, o2, l2 = map(np.asarray, (o1, l1, o2, l2))
+        assert np.array_equal(l1, l2)
+        for s in range(N // B):
+            assert np.array_equal(o1[s, :l1[s]], o2[s, :l2[s]])
+    # overflow reporting parity on an impossible budget
+    q = rng.integers(-1000, 1000, size=(12, 64)).astype(np.int32)
+    args = (jnp.asarray(q), jnp.asarray(np.zeros(12, np.int32)),
+            jnp.asarray(prev), dcb, dcl, acb, acl)
+    _, _, vx = tpu_encode.encode_segments_device(
+        *args, blocks_per_segment=B, max_seg_bytes=80)
+    _, _, vp = pallas_encode.encode_segments_pallas(
+        *args, blocks_per_segment=B, max_seg_bytes=80)
+    assert bool(vx) and bool(vp)
+
+
+def test_pallas_packer_through_session(mini64_frames):
+    """encode_device(device_pack='pallas') emits byte-identical streams."""
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.model.encoder import Parameters
+    from video_coding_tpu.runtime.engine import JpegEncoderSession
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    params = Parameters.c420(64, 64, 75)
+    ref = JpegEncoderSession(params, restart_interval=2).encode(src)
+    got = JpegEncoderSession(params, restart_interval=2,
+                             device_pack="pallas").encode_device(src)
+    assert got == ref

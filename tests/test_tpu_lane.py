@@ -121,3 +121,14 @@ def test_transcode_on_chip(small_stream):
     b = decode_jpeg(out)
     for p in "yuv":
         assert np.array_equal(getattr(a, p).data, getattr(b, p).data)
+
+
+def test_pallas_packer_on_chip(small_stream):
+    """The Mosaic-compiled pack+stuff kernel emits byte-identical streams
+    on the real chip."""
+    frame, params, stream, _header, _payload, _golden = small_stream
+    from video_coding_tpu.runtime.engine import JpegEncoderSession
+
+    enc = JpegEncoderSession(params, restart_interval=1,
+                             device_pack="pallas")
+    assert enc.encode_device(frame) == stream

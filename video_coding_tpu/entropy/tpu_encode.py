@@ -143,14 +143,16 @@ def _batched_searchsorted(a, v, side: str):
     return lo
 
 
-def _pack_gather(sym_hi, sym_lo, sym_len, M):
-    """Pack ordered variable-length symbols into bytes without scatters.
+def _compact_symbols(sym_hi, sym_lo, sym_len):
+    """Append the flush pad slot and compact away zero-length slots so
+    consecutive symbols are ≥2 bits (except the final pad) and OVERLAP
+    bounds the per-byte cover count.
 
-    Slot bit-offsets are monotone within a segment, so every output byte
-    can *gather* the ≤ OVERLAP symbols that cover it via searchsorted —
-    TPU-friendly (gathers vectorize; scatters with colliding indices
-    serialize). Returns (raw_bytes (S, M) uint8, raw_byte_lens, overflow).
-    """
+    Compaction is scatter+cumsum (a slot's destination is its rank) —
+    unique indices, O(K) per segment. Returns (c_hi, c_lo, c_end, c_off,
+    n_compact, raw_bytes_len): compacted symbol values, their bit
+    end/start offsets (garbage past n_compact), symbol counts, and the
+    padded byte length per segment."""
     S = sym_hi.shape[0]
     ends = jnp.cumsum(sym_len, axis=1)
     offs = ends - sym_len
@@ -164,14 +166,7 @@ def _pack_gather(sym_hi, sym_lo, sym_len, M):
     offs = jnp.concatenate([offs, total_bits[:, None]], axis=1)
     ends = jnp.concatenate([ends, (total_bits + pad_len)[:, None]], axis=1)
     raw_bytes_len = (total_bits + pad_len) >> 3
-    overflow = jnp.any(raw_bytes_len > M)
 
-    # compact away zero-length slots so consecutive symbols are ≥2 bits
-    # (except the final pad) and OVERLAP bounds the per-byte gather count.
-    # Compaction and byte→symbol rank mapping are scatter+cumsum (a slot's
-    # destination is its rank), not per-slot binary searches — the
-    # scatters have unique (or few-colliding) indices and cost O(K+M) per
-    # segment instead of O((K+M)·log K) gather chains.
     nz = sym_len > 0
     rank = jnp.cumsum(nz, axis=1)          # 1-based rank among non-empty
     n_compact = rank[:, -1]
@@ -186,10 +181,25 @@ def _pack_gather(sym_hi, sym_lo, sym_len, M):
     def compact(values):
         return jnp.take_along_axis(values, comp_src, axis=1)
 
-    c_hi = compact(sym_hi)
-    c_lo = compact(sym_lo)
-    c_end = compact(ends)
-    c_off = compact(offs)
+    return (compact(sym_hi), compact(sym_lo), compact(ends), compact(offs),
+            n_compact, raw_bytes_len)
+
+
+def _pack_gather(sym_hi, sym_lo, sym_len, M):
+    """Pack ordered variable-length symbols into bytes without scatters.
+
+    Slot bit-offsets are monotone within a segment, so every output byte
+    can *gather* the ≤ OVERLAP symbols that cover it via a rank count
+    (scatter+cumsum over the byte grid) — TPU-friendly (gathers
+    vectorize; scatters with colliding indices serialize). Returns
+    (raw_bytes (S, M) uint8, raw_byte_lens, overflow)."""
+    S = sym_hi.shape[0]
+    c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len = _compact_symbols(
+        sym_hi, sym_lo, sym_len)
+    K = c_end.shape[1]
+    r_idx = jnp.arange(K)
+    lane_col = jnp.arange(S)[:, None]
+    overflow = jnp.any(raw_bytes_len > M)
     c_valid_slot = r_idx[None, :] < n_compact[:, None]
 
     # a[b] = number of compact symbols ending at or before bit 8b — the

@@ -681,11 +681,16 @@ class JpegEncoderSession:
 
     def __init__(self, params: Parameters, restart_interval: int = 0,
                  impl: str = "auto", entropy: str = "native",
-                 coef_transfer: str = "auto", mesh=None):
+                 coef_transfer: str = "auto", mesh=None,
+                 device_pack: str = "xla"):
         """entropy: 'native' (C++ threads), 'python', or 'tpu' (on-device
         scan+scatter bitstream packing). coef_transfer: 'dense', 'sparse'
         (bitmask+values download of the quantized coefficients — ~4-6x
         less interconnect traffic), or 'auto' (sparse on TPU).
+        device_pack: bitstream-pack strategy of the fused device encode —
+        'xla' (gather packer in the XLA graph) or 'pallas' (per-byte
+        cover search + stuffing in one VMEM-resident Mosaic kernel,
+        entropy/pallas_encode.py); bit-identical outputs.
         mesh: optional jax.sharding.Mesh — the fused device encode then
         shards restart segments over every mesh axis; per-segment byte
         lengths are exchanged with an all_gather and the wire stream is
@@ -697,6 +702,7 @@ class JpegEncoderSession:
         self.entropy = entropy
         self.coef_transfer = coef_transfer
         self.mesh = mesh
+        self.device_pack = device_pack
         probe = Encoder(params, restart_interval=restart_interval)
         self.scans = probe.scans
         self._probe = probe
@@ -933,6 +939,18 @@ class JpegEncoderSession:
         return (B, n_blocks, n_seg, sp, n_padded, jnp.asarray(sched),
                 jnp.asarray(prev_same), jnp.asarray(valid), tabs, cap)
 
+    def _encode_segments_fn(self):
+        """Resolve the device pack strategy (both bit-identical)."""
+        if self.device_pack == "pallas":
+            from ..entropy.pallas_encode import encode_segments_pallas
+
+            return functools.partial(
+                encode_segments_pallas,
+                interpret=jax.default_backend() == "cpu")
+        from ..entropy import tpu_encode
+
+        return tpu_encode.encode_segments_device
+
     def _build_device_e2e_enc_jit(self, max_seg_bytes: int):
         from ..entropy import tpu_encode
 
@@ -970,11 +988,13 @@ class JpegEncoderSession:
          cap) = self._enc_geometry(max_seg_bytes)
         F = frames
 
+        encode_segments = self._encode_segments_fn()
+
         if self.mesh is None:
             def run(qc_seg, valid_seg, sched, prev, *tabs):
                 s_total = qc_seg.shape[0]
                 comp = jnp.tile(sched, s_total)
-                out, lens, ovf = tpu_encode.encode_segments_device(
+                out, lens, ovf = encode_segments(
                     qc_seg.reshape(-1, 64), comp, prev, *tabs,
                     blocks_per_segment=B, max_seg_bytes=max_seg_bytes,
                     valid=valid_seg.reshape(-1))
@@ -1004,7 +1024,7 @@ class JpegEncoderSession:
         def sharded(qc_seg, valid_seg, sched, prev, *tabs):
             s_local = qc_seg.shape[0]
             comp = jnp.tile(sched, s_local)
-            out, lens, ovf = tpu_encode.encode_segments_device(
+            out, lens, ovf = encode_segments(
                 qc_seg.reshape(-1, 64), comp, prev, *tabs,
                 blocks_per_segment=B, max_seg_bytes=max_seg_bytes,
                 valid=valid_seg.reshape(-1))
