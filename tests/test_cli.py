@@ -172,3 +172,35 @@ def test_simulate_cli_encoder_accelerator(tmp_path, mini64_frames):
                 "--restart-interval", "2")
     assert r.returncode == 0, r.stderr
     assert "byte-identical" in r.stdout
+
+
+def test_simulate_cli_inspect(tmp_path, mini64_frames):
+    """The per-block inspector (waveform-viewer analog): one-shot block
+    dump with stages, and the interactive stdin command loop."""
+    from video_coding_tpu.runtime.engine import encode_jpeg
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    jpg = tmp_path / "f.jpg"
+    jpg.write_bytes(encode_jpeg(src, quality=75, restart_interval=1))
+
+    r = run_cli("video_coding_tpu.cli.simulate_cli", "inspect", str(jpg),
+                "--block", "2", "--stages")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "0 differ" in r.stdout
+    assert "identical coefficients" in r.stdout
+    assert "reconstruction:" in r.stdout
+
+    # interactive: next / goto / next-diff / quit through stdin
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "video_coding_tpu.cli.simulate_cli",
+         "inspect", str(jpg)],
+        input="n\ng 5\nd\nq\n", capture_output=True, text=True, env=env,
+        cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "block 1/" in r.stdout
+    assert "block 5/" in r.stdout
+    assert "no differing block" in r.stdout

@@ -111,3 +111,34 @@ def test_yuv_crop():
     c420 = f420.crop(2, 2, 2, 2)
     assert c420.y.data.shape == (2, 2)
     assert c420.u.data.shape == (1, 1)
+
+
+def test_play_sdl_dummy_driver(tmp_path, mini64_frames):
+    """The interactive player's full event/render loop runs under the SDL
+    dummy driver (headless CI): frames are decoded, transformed, blitted
+    and counted exactly like a real display session."""
+    import os
+
+    pytest.importorskip("pygame")
+    from video_coding_tpu.common.frame import ChromaSubsampling
+    from video_coding_tpu.common.size import Size
+    from video_coding_tpu.tools import play
+    from video_coding_tpu.tools.yuv_format import YuvFormat
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    raw = tmp_path / "clip.yuv"
+    with open(raw, "wb") as f:
+        for _ in range(3):
+            src.output(f)
+    old = os.environ.get("SDL_VIDEODRIVER")
+    os.environ["SDL_VIDEODRIVER"] = "dummy"
+    try:
+        n = play.play_sdl(str(raw), Size(64, 64),
+                          YuvFormat.of_string("420"), fps=1000.0,
+                          stop_after=5)
+    finally:
+        if old is None:
+            os.environ.pop("SDL_VIDEODRIVER", None)
+        else:
+            os.environ["SDL_VIDEODRIVER"] = old
+    assert n == 5

@@ -119,6 +119,104 @@ def cmd_encoder_accelerator(args) -> int:
     return 1
 
 
+def cmd_inspect(args) -> int:
+    """Interactive per-block pipeline inspector — the analog of the
+    reference's interactive waveform viewer (simulate.ml:11,
+    Hardcaml_waveterm_interactive): step block by block through the
+    decode pipeline with the model and the accelerated tier side by
+    side (zigzag coefficients → dequant → IDCT → reconstruction as 8x8
+    hex grids), jumping straight to mismatches.
+
+    Commands on stdin: n(ext) / p(rev) / g <idx> / d (next differing
+    block) / q(uit). One-shot with --block; scriptable when piped."""
+    from ..model.util import coef_block_to_string, pixel_block_to_string
+    from ..model.zigzag import INVERSE as ZIGZAG_INVERSE
+    from ..model.dct import chen_inverse_8x8
+    from ..ops import datapath
+    from ..runtime.engine import JpegDecoderSession
+
+    data, header, payload = _load(args.input)
+    bits = BitReader(data)
+    dec = mdec.Decoder(mdec.Header.decode(bits), bits)
+    sched = dec.block_schedule()
+    golden = dec.decode_entropy()
+    sess = JpegDecoderSession(header, entropy=args.entropy,
+                              coef_transfer="dense")
+    accel = np.asarray(sess.decode_entropy(payload))
+    accel_pix = np.asarray(
+        datapath.decode_datapath_jnp(accel, sess.quant)).astype(np.uint8)
+    n = len(sched)
+    differs = (accel != golden).any(axis=1)
+
+    def model_stages(i):
+        ci, _x, _y = sched[i]
+        q = dec.components[ci].quant_table
+        dq_zz = np.clip(golden[i].astype(np.int64) * q, -2048, 2047)
+        dq = np.zeros(64, np.int64)
+        dq[ZIGZAG_INVERSE] = dq_zz
+        idct = chen_inverse_8x8(dq.reshape(8, 8)).reshape(64)
+        recon = (np.clip(idct, -128, 127) + 128).astype(np.uint8)
+        return dq, idct, recon
+
+    def show(i):
+        ci, x, y = sched[i]
+        mark = "  << DIFFERS" if differs[i] else ""
+        print(f"block {i}/{n - 1}  component {ci}  plane pos "
+              f"({x},{y}){mark}")
+        print("model zigzag coefficients:")
+        print(coef_block_to_string(golden[i]))
+        if differs[i]:
+            print(f"accelerated ({args.entropy}) zigzag coefficients:")
+            print(coef_block_to_string(accel[i]))
+        else:
+            print(f"accelerated ({args.entropy}): identical coefficients")
+        if args.stages:
+            dq, idct, recon = model_stages(i)
+            print("dequantized (natural order):")
+            print(coef_block_to_string(dq))
+            print("idct:")
+            print(coef_block_to_string(idct))
+            print("reconstruction:")
+            print(pixel_block_to_string(recon))
+            if not np.array_equal(accel_pix[i].reshape(64), recon):
+                print("accelerated reconstruction (DIFFERS):")
+                print(pixel_block_to_string(accel_pix[i].reshape(64)))
+
+    print(f"{n} blocks, {int(differs.sum())} differ between model and "
+          f"the '{args.entropy}' tier")
+    if args.block is not None:
+        show(args.block)
+        return 1 if differs[args.block] else 0
+    i = 0
+    show(i)
+    while True:
+        try:
+            cmd = input("inspect> ").strip().split()
+        except EOFError:
+            break
+        if not cmd:
+            continue
+        if cmd[0] in ("q", "quit"):
+            break
+        if cmd[0] in ("n", "next"):
+            i = min(i + 1, n - 1)
+        elif cmd[0] in ("p", "prev"):
+            i = max(i - 1, 0)
+        elif cmd[0] == "g" and len(cmd) > 1:
+            i = min(max(int(cmd[1]), 0), n - 1)
+        elif cmd[0] in ("d", "diff"):
+            nxt = np.nonzero(differs[i + 1:])[0]
+            if len(nxt) == 0:
+                print("no differing block after this one")
+                continue
+            i = i + 1 + int(nxt[0])
+        else:
+            print("commands: n / p / g <idx> / d / q")
+            continue
+        show(i)
+    return 0
+
+
 def cmd_filter_stuffed_bytes(args) -> int:
     from ..entropy import destuff_segments
 
@@ -177,6 +275,18 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--count", type=int, default=100)
     f.add_argument("--seed", type=int, default=0)
     f.set_defaults(fn=cmd_filter_stuffed_bytes)
+
+    i = sub.add_parser("inspect", help="interactive per-block pipeline "
+                       "inspector (model vs accelerated tier)")
+    i.add_argument("input")
+    i.add_argument("--block", type=int, default=None,
+                   help="show one block and exit (exit code 1 if the "
+                        "tiers differ on it)")
+    i.add_argument("--stages", action="store_true",
+                   help="also dump dequant/idct/reconstruction stages")
+    i.add_argument("--entropy", choices=["native", "python", "tpu"],
+                   default="native")
+    i.set_defaults(fn=cmd_inspect)
     return p
 
 

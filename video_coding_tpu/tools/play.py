@@ -114,46 +114,54 @@ def play_headless(path: str, size: Size, fmt: YuvFormat, out_dir: str,
 
 
 def play_sdl(path: str, size: Size, fmt: YuvFormat, fps: float = 25.0,
-             transform=None) -> int:
+             transform=None, stop_after: int | None = None) -> int:
     """Interactive playback via pygame (space=pause, ./,=step, q=quit).
 
     Raises RuntimeError when no display/pygame is available — callers fall
-    back to play_headless."""
+    back to play_headless. SDL_VIDEODRIVER=dummy is accepted (headless
+    CI drives the full interactive loop that way); ``stop_after`` bounds
+    the frames shown for such scripted runs."""
     try:
         import pygame
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("pygame not available") from e
-    if not os.environ.get("DISPLAY") and os.name != "nt":  # pragma: no cover
+    if (not os.environ.get("DISPLAY") and os.name != "nt"
+            and os.environ.get("SDL_VIDEODRIVER") != "dummy"):
         raise RuntimeError("no display available")
 
-    pygame.init()  # pragma: no cover
+    pygame.init()
     screen = pygame.display.set_mode((size.width, size.height))
     clock = pygame.time.Clock()
     frames = []
     with open(path, "rb") as f:
         frames = list(iter_frames(f, size, fmt))
     idx, playing, n_shown = 0, True, 0
-    while True:
-        for event in pygame.event.get():
-            if event.type == pygame.QUIT:
-                return n_shown
-            if event.type == pygame.KEYDOWN:
-                if event.key == pygame.K_q:
+    try:
+        while True:
+            for event in pygame.event.get():
+                if event.type == pygame.QUIT:
                     return n_shown
-                if event.key == pygame.K_SPACE:
-                    playing = not playing
-                if event.key == pygame.K_PERIOD:
-                    idx = min(idx + 1, len(frames) - 1)
-                if event.key == pygame.K_COMMA:
-                    idx = max(idx - 1, 0)
-        yuv = frames[idx]
-        if transform is not None:
-            yuv = transform(yuv)
-        rgb = yuv444_to_rgb(yuv)
-        surf = pygame.surfarray.make_surface(rgb.swapaxes(0, 1))
-        screen.blit(surf, (0, 0))
-        pygame.display.flip()
-        n_shown += 1
-        if playing:
-            idx = (idx + 1) % len(frames)
-        clock.tick(fps)
+                if event.type == pygame.KEYDOWN:
+                    if event.key == pygame.K_q:
+                        return n_shown
+                    if event.key == pygame.K_SPACE:
+                        playing = not playing
+                    if event.key == pygame.K_PERIOD:
+                        idx = min(idx + 1, len(frames) - 1)
+                    if event.key == pygame.K_COMMA:
+                        idx = max(idx - 1, 0)
+            yuv = frames[idx]
+            if transform is not None:
+                yuv = transform(yuv)
+            rgb = yuv444_to_rgb(yuv)
+            surf = pygame.surfarray.make_surface(rgb.swapaxes(0, 1))
+            screen.blit(surf, (0, 0))
+            pygame.display.flip()
+            n_shown += 1
+            if stop_after is not None and n_shown >= stop_after:
+                return n_shown
+            if playing:
+                idx = (idx + 1) % len(frames)
+            clock.tick(fps)
+    finally:
+        pygame.quit()
