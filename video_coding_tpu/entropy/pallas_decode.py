@@ -11,6 +11,12 @@ lane chunk with every operand pinned in VMEM:
 - the per-lane cursor/FSM state (codeblock_decoder.ml:143-244), and
 - the coefficient output block.
 
+`gather_impl='onehot'` (default) expresses every per-lane dynamic index
+as a branch-free one-hot compare+select+reduce — the form the VPU
+actually executes; it is the only form Mosaic lowers on current TPUs
+(`'native'` take/take_along_axis gathers fail Mosaic's gather-shape
+rule on real chips and are kept for interpret-mode and future backends).
+
 The XLA formulation round-trips ~15 MB of carry state through HBM every
 while_loop iteration; here an iteration touches only VMEM. Per-lane
 dynamic indexing appears in three places (peek-window gather, value-table
@@ -199,7 +205,7 @@ def decode_segments_pallas(segbytes: jax.Array, seg_blocks: jax.Array,
                            hi: jax.Array, offset: jax.Array,
                            values: jax.Array, *, blocks_per_segment: int,
                            n_components: int, lane_chunk: int = 512,
-                           gather_impl: str = "native",
+                           gather_impl: str = "onehot",
                            syms_per_iter: int = 2,
                            interpret: bool = False) -> jax.Array:
     """Decode all segments in parallel in a Pallas TPU kernel.
@@ -262,7 +268,7 @@ def decode_segments_pallas(segbytes: jax.Array, seg_blocks: jax.Array,
 
 def decode_scan_pallas(segments: list[bytes], comp_idx: np.ndarray,
                        blocks_per_segment: int, tables,
-                       gather_impl: str = "native",
+                       gather_impl: str = "onehot",
                        interpret: bool | None = None) -> np.ndarray:
     """Drop-in alternative to tpu_decode.decode_scan_tpu running the
     Huffman loop in the Pallas kernel. Returns (n_blocks, 64) int32."""

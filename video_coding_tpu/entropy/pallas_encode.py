@@ -82,25 +82,33 @@ def _prefix_sum_lanes(x, width: int):
 
 
 def _kernel(c_hi_ref, c_lo_ref, c_end_ref, c_off_ref, rlen_ref,
-            out_ref, lens_ref, *, m_raw: int, m_out: int, k_steps: int):
+            out_ref, lens_ref, *, m_raw: int, k_steps: int):
     """One lane chunk: compacted symbols → stuffed wire bytes + lengths.
 
     c_end rows are _BIG past each lane's symbol count (set by the caller),
-    so the binary search needs no separate validity operand."""
+    so the binary search needs no separate validity operand.
+
+    Every operand/grid row shares ONE padded width W: Mosaic's per-lane
+    gather only lowers when the index array matches the operand shape
+    exactly (take_along_axis with indices (CH, M) into rows (CH, K)
+    fails its gather-shape rule for M != K on real chips), so symbol
+    rows, the byte grid and the stuffed-output grid are all W wide and
+    masked by m_raw / raw_len instead of being separately sized."""
     c_hi = c_hi_ref[:]
     c_lo = c_lo_ref[:]
     c_end = c_end_ref[:]
     c_off = c_off_ref[:]
     raw_len = rlen_ref[:]                      # (CHUNK, 1)
     CHUNK = c_hi.shape[0]
-    K = c_hi.shape[1]
+    W = c_hi.shape[1]
 
     # ---- pack: every output byte gathers its ≤ OVERLAP cover symbols ----
-    byte_bits = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, m_raw), 1) * 8
+    byte_pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, W), 1)
+    byte_bits = byte_pos * 8
     a = _searchsorted_right(c_end, byte_bits, k_steps)
-    acc = jnp.zeros((CHUNK, m_raw), jnp.int32)
+    acc = jnp.zeros((CHUNK, W), jnp.int32)
     for t in range(OVERLAP):
-        idx = jnp.clip(a + t, 0, K - 1)
+        idx = jnp.clip(a + t, 0, W - 1)
         hi = jnp.take_along_axis(c_hi, idx, axis=1)
         lo = jnp.take_along_axis(c_lo, idx, axis=1)
         end = jnp.take_along_axis(c_end, idx, axis=1)
@@ -108,22 +116,19 @@ def _kernel(c_hi_ref, c_lo_ref, c_end_ref, c_off_ref, rlen_ref,
         valid = (end < _BIG) & (off < byte_bits + 8) & (end > byte_bits)
         s = jnp.clip(end - byte_bits - 8, -8, 63)
         acc = acc + jnp.where(valid, _extract_byte_i32(hi, lo, s), 0)
-    byte_pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, m_raw), 1)
-    raw_valid = byte_pos < raw_len
+    raw_valid = (byte_pos < raw_len) & (byte_pos < m_raw)
     raw = jnp.where(raw_valid, acc, 0)
 
     # ---- stuffing: monotone dest positions, inverted by binary search ---
     is_ff = (raw == 0xFF) & raw_valid
-    ff_before = _prefix_sum_lanes(is_ff.astype(jnp.int32), m_raw) \
+    ff_before = _prefix_sum_lanes(is_ff.astype(jnp.int32), W) \
         - is_ff.astype(jnp.int32)
     dest = jnp.where(raw_valid, byte_pos + ff_before, _BIG)
-    out_pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, m_out), 1)
     # src = last source byte with dest ≤ o; exact hit = data byte,
     # miss = the stuffed 0x00 that follows an 0xFF
-    src = _searchsorted_right(dest, out_pos,
-                              max(m_raw.bit_length(), 1)) - 1
-    src_c = jnp.clip(src, 0, m_raw - 1)
-    exact = jnp.take_along_axis(dest, src_c, axis=1) == out_pos
+    src = _searchsorted_right(dest, byte_pos, k_steps) - 1
+    src_c = jnp.clip(src, 0, W - 1)
+    exact = jnp.take_along_axis(dest, src_c, axis=1) == byte_pos
     out_ref[:] = jnp.where(exact & (src >= 0),
                            jnp.take_along_axis(raw, src_c, axis=1), 0)
     n_ff = jnp.sum(jnp.where(is_ff, 1, 0), axis=1, keepdims=True)
@@ -154,12 +159,12 @@ def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
 
     CH = min(lane_chunk, max(8, 1 << (S - 1).bit_length()))
     Sp = -(-S // CH) * CH
-    Kp = -(-K // 128) * 128
-    mp_raw = -(-m_raw // 128) * 128
-    mp_out = -(-m_out // 128) * 128
+    # one shared width: symbol rows, byte grid and stuffed grid (see
+    # _kernel docstring — Mosaic gathers need index/operand shape match)
+    W = -(-max(K, m_raw, m_out) // 128) * 128
 
     def padk(x, fill=0):
-        return jnp.pad(x, ((0, Sp - S), (0, Kp - K)), constant_values=fill)
+        return jnp.pad(x, ((0, Sp - S), (0, W - K)), constant_values=fill)
 
     c_hi = padk(c_hi)
     c_lo = padk(c_lo)
@@ -168,25 +173,24 @@ def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
     rlen = jnp.pad(raw_bytes_len.astype(jnp.int32), (0, Sp - S))[:, None]
 
     kern = functools.partial(
-        _kernel, m_raw=mp_raw, m_out=mp_out,
-        k_steps=max(Kp.bit_length(), 1))
+        _kernel, m_raw=m_raw, k_steps=max(W.bit_length(), 1))
     row = lambda i: (i, 0)  # noqa: E731
     out, lens = pl.pallas_call(
         kern,
         grid=(Sp // CH,),
         in_specs=[
-            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((CH, 1), row, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((CH, mp_out), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((CH, 1), row, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Sp, mp_out), jnp.int32),
+            jax.ShapeDtypeStruct((Sp, W), jnp.int32),
             jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
         ),
         interpret=interpret,
