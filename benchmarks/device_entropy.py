@@ -70,7 +70,7 @@ def main(argv=None) -> int:
         header = Header.decode(bits)
         payload = stream[bits.bit_pos >> 3:]
 
-        for mode in args.decoders.split(","):
+        for mode in filter(None, args.decoders.split(",")):
             try:
                 sess = JpegDecoderSession(header, device_huffman=mode)
                 out = sess.decode_device_e2e(payload)  # compile + warm
@@ -92,7 +92,7 @@ def main(argv=None) -> int:
 
         if args.skip_encode:
             continue
-        for packer in args.packers.split(","):
+        for packer in filter(None, args.packers.split(",")):
             try:
                 sess = JpegEncoderSession(params, restart_interval=ri,
                                           entropy="tpu", device_pack=packer)

@@ -107,8 +107,8 @@ def _kernel(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
         lo_sel = jnp.sum(jnp.where(valid, lo_t, 0), axis=1, keepdims=True)
         off_sel = jnp.sum(jnp.where(valid, off_t, 0), axis=1, keepdims=True)
         shift = 16 - jnp.maximum(code_len, 1)
-        idx = off_sel + ((w16 - lo_sel) >> shift)
-        flat_idx = t * V + jnp.clip(idx, 0, V - 1)
+        # offsets arrive pre-rebased into the flat values array
+        flat_idx = jnp.clip(off_sel + ((w16 - lo_sel) >> shift), 0, V - 1)
         if gather_impl == "native":
             data = jnp.take(values.reshape(-1), flat_idx.reshape(-1),
                             axis=0).reshape(CHUNK, 1)
@@ -235,6 +235,7 @@ def decode_segments_pallas(segbytes: jax.Array, seg_blocks: jax.Array,
     sched = comp_sched.astype(jnp.int32)[None, :]
 
     grid = (Sp // CH,)
+    values = values.reshape(1, -1)  # flat compact layout (range_tables)
     kern = functools.partial(
         _kernel, blocks=B, n_components=n_components,
         max_iters=(B * 65 + 64) // syms_per_iter + 2,

@@ -1,28 +1,40 @@
 """Pallas TPU kernel for the parallel bitstream packer.
 
 Same contract and bit-identical output as tpu_encode's XLA gather packer
-(_pack_gather + _stuff_gather), but the whole per-byte cover search,
-symbol-window extraction and 0xFF00 stuffing run inside one Mosaic kernel
-per lane chunk with every operand pinned in VMEM:
+(_pack_gather + _stuff_gather): compacted symbols in, stuffed wire bytes
+out. The kernel is the device transliteration of the RTL bit packer's
+insert-at-bottom shift register (bitstream_writer.ml:21-27) — a per-lane
+bit-accumulator FSM stepping one symbol at a time — vectorized over one
+restart segment per lane, with every operand pinned in VMEM:
 
-- the compacted symbol arrays (values + bit start/end offsets, one row
-  per restart segment — the device analog of the RTL bit packer's 32-bit
-  insert_at_bottom buffer, bitstream_writer.ml:21-27, plus the stuffing
-  and flush the RTL lacks, bitstream_writer.ml:29),
-- the per-byte first-cover index via an in-VMEM row-wise binary search
-  over the monotone symbol end offsets (no scatters, no HBM round trips
-  between stages),
-- the stuffing expansion as a second binary search over the monotone
-  destination positions.
+- one `lax.while_loop` over symbol slots; each step shifts the lane's
+  next symbol into a 64-bit (int32 pair) accumulator and emits up to
+  four complete bytes,
+- byte emission is a branch-free one-hot write at the lane's output
+  cursor (no scatters), and 0xFF00 stuffing is a cursor skip — the
+  stuffed 0x00 is simply the untouched zero-initialized slot
+  (the stuffing+flush the RTL lacks, bitstream_writer.ml:29),
+- early exit when every lane has consumed its symbols.
+
+Per-lane dynamic indexing never appears: Mosaic's `tpu.dynamic_gather`
+only reaches within a single 128-lane vreg ("multiple source vregs along
+gather dimension" is unimplemented on current chips), so the kernel uses
+only the op vocabulary the VPU actually has — compares, selects,
+reductions and dynamic-amount shifts (the same vocabulary that makes
+pallas_decode.py's one-hot decode kernel the fastest entropy tier).
 
 The XLA formulation round-trips every (S, M)-shaped intermediate through
-HBM across ~15 fused ops; here one kernel invocation per lane chunk
-touches HBM exactly twice (operand load, result store).
+HBM across ~15 fused ops and pays O(M·OVERLAP) gathers; here one kernel
+invocation per lane chunk touches HBM exactly twice (operand load,
+result store).
 
 Symbol construction and zero-slot compaction stay in XLA (one cumsum +
 one unique-index scatter, already cheap); this kernel replaces the
 byte-grid stages, which dominate the 0.6 s/frame measured in round 1
 (BENCH_NOTES.md "device bitstream packer").
+
+Lanes are restart segments (many-short-segments regime, like the decode
+kernel); long-segment/few-lane streams stay on the XLA path.
 """
 
 from __future__ import annotations
@@ -35,26 +47,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tpu_encode import OVERLAP, _compact_symbols
+from .tpu_encode import OVERLAP, _compact_symbols  # noqa: F401 (OVERLAP re-export)
 
 _BIG = 1 << 30  # "invalid" sentinel (plain int: kernels close over it)
-
-
-def _searchsorted_right(sorted_rows, queries, steps: int):
-    """Row-wise searchsorted(side='right'): sorted_rows (C, K) per-lane
-    sorted, queries (C, M) → (C, M) count of row values ≤ query.
-    take_along_axis gathers only — the Mosaic-native form."""
-    K = sorted_rows.shape[1]
-    lo = jnp.zeros(queries.shape, jnp.int32)
-    hi = jnp.full(queries.shape, K, jnp.int32)
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        amid = jnp.take_along_axis(sorted_rows, jnp.clip(mid, 0, K - 1),
-                                   axis=1)
-        go_right = (amid <= queries) & (mid < hi)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, jnp.minimum(hi, mid))
-    return lo
 
 
 def _extract_byte_i32(hi, lo, s):
@@ -70,87 +65,103 @@ def _extract_byte_i32(hi, lo, s):
     return jnp.where(s >= 32, s_ge32, jnp.where(s >= 0, s_lt32, s_neg))
 
 
-def _prefix_sum_lanes(x, width: int):
-    """Inclusive prefix sum along the lane (last) axis via log-step
-    shifted adds (pltpu.roll); `width` is the static lane count."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    sh = 1
-    while sh < width:
-        x = x + jnp.where(cols >= sh, pltpu.roll(x, sh, axis=1), 0)
-        sh <<= 1
-    return x
-
-
-def _kernel(c_hi_ref, c_lo_ref, c_end_ref, c_off_ref, rlen_ref,
-            out_ref, lens_ref, *, m_raw: int, k_steps: int):
+def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
+            *, max_syms: int):
     """One lane chunk: compacted symbols → stuffed wire bytes + lengths.
 
-    c_end rows are _BIG past each lane's symbol count (set by the caller),
-    so the binary search needs no separate validity operand.
-
-    Every operand/grid row shares ONE padded width W: Mosaic's per-lane
-    gather only lowers when the index array matches the operand shape
-    exactly (take_along_axis with indices (CH, M) into rows (CH, K)
-    fails its gather-shape rule for M != K on real chips), so symbol
-    rows, the byte grid and the stuffed-output grid are all W wide and
-    masked by m_raw / raw_len instead of being separately sized."""
-    c_hi = c_hi_ref[:]
+    State per lane: (acc_hi, acc_lo) pending-bit accumulator, nbits
+    pending-bit count, pos output byte cursor. A symbol slot can be up to
+    59 bits (≤3 folded ZRL codes + a 16-bit code + 11 magnitude bits,
+    right-aligned in (hi, lo)), so each step shifts it in as two ≤32-bit
+    pieces with a 4-byte emit drain after each — the accumulator never
+    holds more than 39 bits and always leaves a step holding < 8.
+    """
+    c_hi = c_hi_ref[:]                          # (CHUNK, K) int32 raw bits
     c_lo = c_lo_ref[:]
-    c_end = c_end_ref[:]
-    c_off = c_off_ref[:]
-    raw_len = rlen_ref[:]                      # (CHUNK, 1)
-    CHUNK = c_hi.shape[0]
-    W = c_hi.shape[1]
+    c_len = c_len_ref[:]                        # (CHUNK, K) bit lengths
+    n_compact = ncomp_ref[:]                    # (CHUNK, 1)
+    CHUNK = c_lo.shape[0]
+    K = c_lo.shape[1]
+    W = out_ref.shape[1]
 
-    # ---- pack: every output byte gathers its ≤ OVERLAP cover symbols ----
-    byte_pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, W), 1)
-    byte_bits = byte_pos * 8
-    a = _searchsorted_right(c_end, byte_bits, k_steps)
-    acc = jnp.zeros((CHUNK, W), jnp.int32)
-    for t in range(OVERLAP):
-        idx = jnp.clip(a + t, 0, W - 1)
-        hi = jnp.take_along_axis(c_hi, idx, axis=1)
-        lo = jnp.take_along_axis(c_lo, idx, axis=1)
-        end = jnp.take_along_axis(c_end, idx, axis=1)
-        off = jnp.take_along_axis(c_off, idx, axis=1)
-        valid = (end < _BIG) & (off < byte_bits + 8) & (end > byte_bits)
-        s = jnp.clip(end - byte_bits - 8, -8, 63)
-        acc = acc + jnp.where(valid, _extract_byte_i32(hi, lo, s), 0)
-    raw_valid = (byte_pos < raw_len) & (byte_pos < m_raw)
-    raw = jnp.where(raw_valid, acc, 0)
+    shr = jax.lax.shift_right_logical
+    shl = jax.lax.shift_left
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, K), 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, W), 1)
 
-    # ---- stuffing: monotone dest positions, inverted by binary search ---
-    is_ff = (raw == 0xFF) & raw_valid
-    ff_before = _prefix_sum_lanes(is_ff.astype(jnp.int32), W) \
-        - is_ff.astype(jnp.int32)
-    dest = jnp.where(raw_valid, byte_pos + ff_before, _BIG)
-    # src = last source byte with dest ≤ o; exact hit = data byte,
-    # miss = the stuffed 0x00 that follows an 0xFF
-    src = _searchsorted_right(dest, byte_pos, k_steps) - 1
-    src_c = jnp.clip(src, 0, W - 1)
-    exact = jnp.take_along_axis(dest, src_c, axis=1) == byte_pos
-    out_ref[:] = jnp.where(exact & (src >= 0),
-                           jnp.take_along_axis(raw, src_c, axis=1), 0)
-    n_ff = jnp.sum(jnp.where(is_ff, 1, 0), axis=1, keepdims=True)
-    lens_ref[:] = raw_len + n_ff
+    def shift_in(acc_hi, acc_lo, nbits, val, ln):
+        """acc = (acc << ln) | val for 0 ≤ ln ≤ 32, val masked to ln
+        bits here (bits of the slot words at/above the symbol length are
+        garbage — the XLA packer's windowed extraction never reads them)."""
+        lnc = jnp.clip(ln, 0, 31)
+        val = jnp.where(ln == 32, val, val & (shl(1, lnc) - 1))
+        new_hi = jnp.where(
+            ln == 32, acc_lo,
+            shl(acc_hi, lnc) | jnp.where(
+                ln == 0, 0, shr(acc_lo, jnp.clip(32 - ln, 0, 31))))
+        new_lo = jnp.where(ln == 32, val, shl(acc_lo, lnc) | val)
+        keep = ln == 0
+        return (jnp.where(keep, acc_hi, new_hi),
+                jnp.where(keep, acc_lo, new_lo), nbits + ln)
+
+    def drain(acc_hi, acc_lo, nbits, pos, out):
+        """Emit all complete bytes (≤ 4: nbits ≤ 39 on entry)."""
+        for _ in range(4):
+            can = nbits >= 8
+            byte = _extract_byte_i32(acc_hi, acc_lo, nbits - 8)
+            byte = jnp.where(can, byte, -1)
+            out = jnp.where((out_cols == pos) & can, byte, out)
+            # 0xFF00 stuffing: skip the (pre-zeroed) next slot
+            pos = pos + jnp.where(can, 1 + (byte == 0xFF), 0)
+            nbits = nbits - jnp.where(can, 8, 0)
+        return nbits, pos, out
+
+    def body(state):
+        k, acc_hi, acc_lo, nbits, pos, out = state
+        active = k < n_compact
+        sel = kcols == k
+        sym_hi = jnp.sum(jnp.where(sel, c_hi, 0), axis=1, keepdims=True)
+        sym_lo = jnp.sum(jnp.where(sel, c_lo, 0), axis=1, keepdims=True)
+        ln = jnp.sum(jnp.where(sel, c_len, 0), axis=1, keepdims=True)
+        ln = jnp.where(active, ln, 0)
+        # high piece: bits 32..ln (nonzero only for folded-ZRL slots)
+        acc_hi, acc_lo, nbits = shift_in(acc_hi, acc_lo, nbits, sym_hi,
+                                         jnp.maximum(ln - 32, 0))
+        nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
+        # low piece: min(ln, 32) bits
+        acc_hi, acc_lo, nbits = shift_in(acc_hi, acc_lo, nbits, sym_lo,
+                                         jnp.minimum(ln, 32))
+        nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
+        return (k + 1, acc_hi, acc_lo, nbits, pos, out)
+
+    def cond(state):
+        k = state[0]
+        return jnp.any(k < n_compact) & (k < max_syms)
+
+    zc = jnp.zeros((CHUNK, 1), jnp.int32)
+    init = (jnp.zeros((), jnp.int32), zc, zc, zc, zc,
+            jnp.zeros((CHUNK, W), jnp.int32))
+    final = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = final[5]
+    lens_ref[:] = final[4]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("m_raw", "m_out", "lane_chunk", "interpret"))
 def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
-                      *, m_raw: int, m_out: int, lane_chunk: int = 256,
+                      *, m_raw: int, m_out: int, lane_chunk: int = 512,
                       interpret: bool = False):
     """Compacted symbols (tpu_encode._compact_symbols layout) → stuffed
     wire bytes. Returns (out (S, m_out) uint8, out_lens (S,), overflow).
 
-    Bit-identical to _pack_gather + _stuff_gather."""
+    Bit-identical to _pack_gather + _stuff_gather. The pad slot appended
+    by _compact_symbols byte-aligns every lane, so the kernel's bit
+    accumulator always drains completely."""
     S, K = c_end.shape
     overflow = jnp.any(raw_bytes_len > m_raw)
-    # invalidate slots past each lane's symbol count for the search
-    slot = jnp.arange(K)[None, :]
-    c_end = jnp.where(slot < n_compact[:, None], c_end, _BIG)
-    c_off = jnp.where(slot < n_compact[:, None], c_off, _BIG)
+    c_len = jnp.where(jnp.arange(K)[None, :] < n_compact[:, None],
+                      c_end - c_off, 0).astype(jnp.int32)
 
     # int32 raw bits for the kernel (logical-shift domain)
     b = jax.lax.bitcast_convert_type
@@ -159,30 +170,26 @@ def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
 
     CH = min(lane_chunk, max(8, 1 << (S - 1).bit_length()))
     Sp = -(-S // CH) * CH
-    # one shared width: symbol rows, byte grid and stuffed grid (see
-    # _kernel docstring — Mosaic gathers need index/operand shape match)
-    W = -(-max(K, m_raw, m_out) // 128) * 128
+    Kp = -(-K // 128) * 128
+    W = -(-m_out // 128) * 128
 
-    def padk(x, fill=0):
-        return jnp.pad(x, ((0, Sp - S), (0, W - K)), constant_values=fill)
+    def padk(x):
+        return jnp.pad(x, ((0, Sp - S), (0, Kp - K)))
 
     c_hi = padk(c_hi)
     c_lo = padk(c_lo)
-    c_end = padk(c_end, fill=1 << 30)
-    c_off = padk(c_off, fill=1 << 30)
-    rlen = jnp.pad(raw_bytes_len.astype(jnp.int32), (0, Sp - S))[:, None]
+    c_len = padk(c_len)
+    ncomp = jnp.pad(n_compact.astype(jnp.int32), (0, Sp - S))[:, None]
 
-    kern = functools.partial(
-        _kernel, m_raw=m_raw, k_steps=max(W.bit_length(), 1))
+    kern = functools.partial(_kernel, max_syms=K)
     row = lambda i: (i, 0)  # noqa: E731
     out, lens = pl.pallas_call(
         kern,
         grid=(Sp // CH,),
         in_specs=[
-            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((CH, 1), row, memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -194,7 +201,7 @@ def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
             jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(c_hi, c_lo, c_end, c_off, rlen)
+    )(c_hi, c_lo, c_len, ncomp)
     out_lens = lens[:S, 0]
     overflow = overflow | jnp.any(out_lens > m_out)
     return (out[:S, :m_out].astype(jnp.uint8), out_lens, overflow)
@@ -203,10 +210,10 @@ def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
 def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
                            dc_len, ac_bits, ac_len, *,
                            blocks_per_segment: int, max_seg_bytes: int,
-                           valid=None, lane_chunk: int = 256,
+                           valid=None, lane_chunk: int = 512,
                            interpret: bool | None = None):
     """Drop-in alternative to tpu_encode.encode_segments_device with the
-    byte-grid pack + stuffing in the Pallas kernel. Same contract:
+    byte pack + stuffing in the Pallas kernel. Same contract:
     returns (bytes (S, M) uint8, seg_byte_lens (S,), overflow)."""
     from .tpu_encode import SLOTS_PER_BLOCK, _symbol_parts
 

@@ -46,7 +46,7 @@ def expand_luts(tables: DecoderTables) -> tuple[np.ndarray, np.ndarray]:
     return dc.astype(np.int32), ac.astype(np.int32)
 
 
-def range_tables(tables: DecoderTables, pad_values: int = 256
+def range_tables(tables: DecoderTables
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Canonical-range decode tables — the TPU analog of the reference's
     16 parallel length-hypothesis matchers (codeword_decoder.ml:31-76),
@@ -58,19 +58,24 @@ def range_tables(tables: DecoderTables, pad_values: int = 256
     row t = component c's DC table (t=c) or AC table (t=C+c):
       lo, hi:  (T, 16) int32 — window-domain range [lo, hi) of length l+1
                (empty ranges have lo=hi=0)
-      offset:  (T, 16) int32 — index of length l+1's first code's data
-      values:  (T, pad_values) int32 — decoded data in canonical order
-               (DC: size category; AC: (run<<4)|size)
+      offset:  (T, 16) int32 — position of length l+1's first code's data
+               in the flat values array (pre-rebased per table, so a
+               matched window needs no table-row term)
+      values:  (V,) int32 flat — every table's decoded data in canonical
+               order, concatenated compactly (DC: size category; AC:
+               (run<<4)|size), zero-padded to a 128 multiple. A standard
+               DC/AC table pair is 12+162 entries, so the flat array is
+               ~3x smaller than per-table 256-entry rows — which sizes
+               the one-hot reduction in the Pallas kernel's hot loop.
     """
     luts = list(tables.dc_luts) + list(tables.ac_luts)
     T = len(luts)
     lo = np.zeros((T, 16), np.int32)
     hi = np.zeros((T, 16), np.int32)
     offset = np.zeros((T, 16), np.int32)
-    values = np.zeros((T, pad_values), np.int32)
+    flat: list[int] = []
     for t, lut in enumerate(luts):
         mb = lut.max_bits
-        vpos = 0
         for l in range(1, 17):
             idxs = np.flatnonzero(lut.lengths == l)
             if idxs.size == 0:
@@ -78,10 +83,12 @@ def range_tables(tables: DecoderTables, pad_values: int = 256
             codes = np.unique(idxs >> (mb - l))
             lo[t, l - 1] = codes[0] << (16 - l)
             hi[t, l - 1] = int(codes[-1] + 1) << (16 - l)
-            offset[t, l - 1] = vpos
+            offset[t, l - 1] = len(flat)
             for c in codes:
-                values[t, vpos] = lut.data[int(c) << (mb - l)]
-                vpos += 1
+                flat.append(int(lut.data[int(c) << (mb - l)]))
+    V = max(128, -(-len(flat) // 128) * 128)
+    values = np.zeros(V, np.int32)
+    values[:len(flat)] = flat
     return lo, hi, offset, values
 
 
@@ -257,8 +264,8 @@ def decode_segments_device_range(segbytes: jax.Array, seg_blocks: jax.Array,
         lo_sel = jnp.sum(jnp.where(valid, lo_t, 0), axis=1)
         off_sel = jnp.sum(jnp.where(valid, off_t, 0), axis=1)
         shift = 16 - jnp.maximum(code_len, 1)
-        idx = off_sel + ((w16 - lo_sel) >> shift)
-        data = values[t, jnp.clip(idx, 0, values.shape[1] - 1)]
+        idx = off_sel + ((w16 - lo_sel) >> shift)   # pre-rebased offsets
+        data = values[jnp.clip(idx, 0, values.shape[0] - 1)]
         return code_len, jnp.where(code_len > 0, data, 0)
 
     return _decode_loop(segbytes, seg_blocks, comp_sched,

@@ -174,12 +174,20 @@ def _compact_symbols(sym_hi, sym_lo, sym_len):
     r_idx = jnp.arange(K)
     lane_col = jnp.arange(S)[:, None]
 
-    comp_src = jnp.zeros((S, K), jnp.int32).at[
-        lane_col, jnp.where(nz, rank - 1, K)].set(
-        jnp.broadcast_to(r_idx[None, :], (S, K)), mode="drop")
+    # flat 1-D scatter/gathers: the 2-D forms lower to TPU's slow general
+    # scatter/gather (~150 ms per 1080p frame); flat unique-index forms
+    # are ~100x faster. Empty slots all land in each lane's spill column
+    # K (colliding .set, value never read — sliced off below).
+    flat_dst = (lane_col * (K + 1)
+                + jnp.where(nz, rank - 1, K)).reshape(-1)
+    comp_src = (jnp.zeros(S * (K + 1), jnp.int32)
+                .at[flat_dst].set(jnp.broadcast_to(r_idx[None, :],
+                                                   (S, K)).reshape(-1))
+                .reshape(S, K + 1)[:, :K])
+    flat_src = (lane_col * K + comp_src).reshape(-1)
 
     def compact(values):
-        return jnp.take_along_axis(values, comp_src, axis=1)
+        return values.reshape(-1)[flat_src].reshape(S, K)
 
     return (compact(sym_hi), compact(sym_lo), compact(ends), compact(offs),
             n_compact, raw_bytes_len)
@@ -276,8 +284,16 @@ def _symbol_parts(qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len,
     diff = (dcs - prev).reshape(N)
     dsize = _size_category(diff)
     c = comp_idx
-    dc_code = dc_bits[c, dsize]
-    dc_clen = dc_len[c, dsize]
+    # all table lookups below go through FLAT 1-D gathers: multi-dim
+    # advanced indexing lowers to a slow general gather on TPU (~70 ms
+    # per 1080p frame measured), while a flat index into a 1-D table is
+    # ~0.05 ms for the same element count
+    dc_flat_b = dc_bits.reshape(-1)
+    dc_flat_l = dc_len.reshape(-1)
+    ac_flat_b = ac_bits.reshape(-1)
+    ac_flat_l = ac_len.reshape(-1)
+    dc_code = dc_flat_b[c * 12 + dsize]
+    dc_clen = dc_flat_l[c * 12 + dsize]
     dc_lo = (((dc_code << dsize) | _magnitude_bits(dsize, diff))
              .astype(jnp.uint32))
     dc_hi = jnp.zeros_like(dc_lo)
@@ -299,22 +315,23 @@ def _symbol_parts(qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len,
     asize = _size_category(ac)
     final_run = ac_run & 15
     zrl_count = ac_run >> 4
-    code = ac_bits[c[:, None], final_run, asize]
-    clen = ac_len[c[:, None], final_run, asize]
+    ac_idx = (c[:, None] * 16 + final_run) * 11 + asize
+    code = ac_flat_b[ac_idx]
+    clen = ac_flat_l[ac_idx]
     base_lo = ((code << asize) | _magnitude_bits(asize, ac)).astype(jnp.uint32)
     base_hi = jnp.zeros_like(base_lo)
     base_len = jnp.where(ac_nz, clen + asize, 0)
 
     # fold the ≤3 ZRLs in front of their following code
-    zrl_bits = ac_bits[c, 15, 0][:, None]
-    zrl_len = ac_len[c, 15, 0][:, None]
+    zrl_bits = ac_flat_b[c * 176 + 15 * 11][:, None]
+    zrl_len = ac_flat_l[c * 176 + 15 * 11][:, None]
     hi, lo, ln = base_hi, base_lo, base_len
     for k in (1, 2, 3):
         enable = ac_nz & (zrl_count >= k)
         hi, lo, ln = _prepend(hi, lo, ln, zrl_bits, zrl_len, enable)
 
-    eob_bits = ac_bits[c, 0, 0]
-    eob_len = ac_len[c, 0, 0]
+    eob_bits = ac_flat_b[c * 176]
+    eob_len = ac_flat_l[c * 176]
     need_eob = last_nz < 63
     eob_lo = jnp.where(need_eob, eob_bits, 0).astype(jnp.uint32)
 
