@@ -96,7 +96,12 @@ def main(argv=None) -> int:
             try:
                 sess = JpegEncoderSession(params, restart_interval=ri,
                                           entropy="tpu", device_pack=packer)
-                sess.encode_device(frame)  # compile + warm
+                # warm TWICE: the first call runs the budget ladder and
+                # locks a (usually smaller) per-segment buffer; the second
+                # compiles the locked-budget graph. Timing after one warm
+                # call would include a remote recompile.
+                sess.encode_device(frame)
+                sess.encode_device(frame)
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
                     out = sess.encode_device(frame)

@@ -41,6 +41,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 PEEK_BITS = 16
 
+# conservative VMEM budget for one lane chunk's resident state +
+# temporaries (real chips have ≥16 MiB; headroom for Mosaic's spills)
+_VMEM_BUDGET = 8 << 20
+
+
+def max_lane_chunk(L: int, blocks_per_segment: int) -> int:
+    """Largest power-of-two lane chunk whose kernel state fits VMEM, or 0
+    when even 8 lanes don't fit. Per lane the kernel keeps the int32 peek
+    windows (~2 copies with one-hot temporaries) and the (B·64,) int32
+    coefficient carry (~3 copies across the while_loop state + selects)."""
+    LW = max(L - 3, 1)
+    LWp = -(-LW // 128) * 128
+    per_lane = 4 * (2 * LWp + 3 * blocks_per_segment * 64)
+    ch = _VMEM_BUDGET // per_lane
+    if ch < 8:
+        return 0
+    return min(512, 1 << (int(ch).bit_length() - 1))
+
 
 def _onehot_row_gather(table, idx):
     """table (R,) or (T, V) flattened per-lane lookup without gather:

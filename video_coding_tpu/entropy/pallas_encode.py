@@ -7,21 +7,28 @@ insert-at-bottom shift register (bitstream_writer.ml:21-27) — a per-lane
 bit-accumulator FSM stepping one symbol at a time — vectorized over one
 restart segment per lane, with every operand pinned in VMEM:
 
-- one `lax.while_loop` over symbol slots; each step shifts the lane's
-  next symbol into a 64-bit (int32 pair) accumulator and emits up to
-  four complete bytes,
+- one `lax.while_loop` over symbol slots; symbols are stored
+  SUBLANE-MAJOR (K, CHUNK) so each step's operands are one dynamic
+  sublane slice — O(1), where a lane-major layout would need a one-hot
+  reduction over all K columns per step,
+- each step shifts the lane's next symbol into a 64-bit (int32 pair)
+  accumulator; complete bytes drain through an inner while_loop that
+  runs only while some lane holds ≥ 8 pending bits (typically 0–1
+  (W, CHUNK) passes per symbol),
 - byte emission is a branch-free one-hot write at the lane's output
   cursor (no scatters), and 0xFF00 stuffing is a cursor skip — the
   stuffed 0x00 is simply the untouched zero-initialized slot
   (the stuffing+flush the RTL lacks, bitstream_writer.ml:29),
 - early exit when every lane has consumed its symbols.
 
-Per-lane dynamic indexing never appears: Mosaic's `tpu.dynamic_gather`
-only reaches within a single 128-lane vreg ("multiple source vregs along
-gather dimension" is unimplemented on current chips), so the kernel uses
-only the op vocabulary the VPU actually has — compares, selects,
-reductions and dynamic-amount shifts (the same vocabulary that makes
-pallas_decode.py's one-hot decode kernel the fastest entropy tier).
+Per-lane dynamic indexing along the LANE axis never appears: Mosaic's
+`tpu.dynamic_gather` only reaches within a single 128-lane vreg
+("multiple source vregs along gather dimension" is unimplemented on
+current chips). Dynamic indexing along the SUBLANE axis (the per-step
+symbol slice) is a supported sublane shift; everything else is the op
+vocabulary the VPU actually has — compares, selects, reductions and
+dynamic-amount shifts (the same vocabulary that makes pallas_decode.py's
+one-hot decode kernel the fastest entropy tier).
 
 The XLA formulation round-trips every (S, M)-shaped intermediate through
 HBM across ~15 fused ops and pays O(M·OVERLAP) gathers; here one kernel
@@ -51,6 +58,27 @@ from .tpu_encode import OVERLAP, _compact_symbols  # noqa: F401 (OVERLAP re-expo
 
 _BIG = 1 << 30  # "invalid" sentinel (plain int: kernels close over it)
 
+# conservative VMEM budget for one lane chunk (see pallas_decode)
+_VMEM_BUDGET = 8 << 20
+
+
+def max_lane_chunk(blocks_per_segment: int, max_seg_bytes: int) -> int:
+    """Largest power-of-two lane chunk whose kernel state fits VMEM, or 0
+    when even 8 lanes don't fit. Per lane the kernel keeps the compacted
+    symbol arrays (hi, lo, len over B·65+1 slots) and the stuffed output
+    byte grid (~3 copies across carry + selects)."""
+    from .tpu_encode import SLOTS_PER_BLOCK
+
+    K = blocks_per_segment * SLOTS_PER_BLOCK + 1
+    Kp = -(-K // 8) * 8
+    m_out = max_seg_bytes + max_seg_bytes // 4 + 8
+    W = -(-m_out // 8) * 8
+    per_lane = 4 * (3 * Kp + 3 * W)
+    ch = _VMEM_BUDGET // per_lane
+    if ch < 8:
+        return 0
+    return min(512, 1 << (int(ch).bit_length() - 1))
+
 
 def _extract_byte_i32(hi, lo, s):
     """Low byte of (hi·2^32 + lo) >> s for -8 ≤ s ≤ 63, on int32 raw bits
@@ -69,25 +97,33 @@ def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
             *, max_syms: int):
     """One lane chunk: compacted symbols → stuffed wire bytes + lengths.
 
+    Layout is SUBLANE-MAJOR: symbols live as (K, CHUNK) so step k's
+    operands are one dynamic sublane slice (O(1)), not a one-hot
+    reduction over K columns; per-lane state (accumulator, bit count,
+    output cursor) is (1, CHUNK) row vectors; the output grid is
+    (W, CHUNK), transposed back by the caller.
+
     State per lane: (acc_hi, acc_lo) pending-bit accumulator, nbits
     pending-bit count, pos output byte cursor. A symbol slot can be up to
     59 bits (≤3 folded ZRL codes + a 16-bit code + 11 magnitude bits,
     right-aligned in (hi, lo)), so each step shifts it in as two ≤32-bit
-    pieces with a 4-byte emit drain after each — the accumulator never
-    holds more than 39 bits and always leaves a step holding < 8.
+    pieces, draining complete bytes after each so the accumulator never
+    exceeds 39 bits and every step exits holding < 8:
+
+    - the high piece (bits 32..len) is nonzero only for folded-ZRL
+      slots, so its shift+drain hides behind a lax.cond on the whole
+      chunk (taken on a tiny fraction of steps);
+    - the drain is an inner while_loop emitting one byte per pass only
+      while some lane still holds ≥ 8 bits — typically 0–1 (W, CHUNK)
+      passes per symbol instead of a fixed 8.
     """
-    c_hi = c_hi_ref[:]                          # (CHUNK, K) int32 raw bits
-    c_lo = c_lo_ref[:]
-    c_len = c_len_ref[:]                        # (CHUNK, K) bit lengths
-    n_compact = ncomp_ref[:]                    # (CHUNK, 1)
-    CHUNK = c_lo.shape[0]
-    K = c_lo.shape[1]
-    W = out_ref.shape[1]
+    n_compact = ncomp_ref[:]                    # (1, CHUNK)
+    CHUNK = n_compact.shape[1]
+    W = out_ref.shape[0]
 
     shr = jax.lax.shift_right_logical
     shl = jax.lax.shift_left
-    kcols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, K), 1)
-    out_cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, W), 1)
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (W, CHUNK), 0)
 
     def shift_in(acc_hi, acc_lo, nbits, val, ln):
         """acc = (acc << ln) | val for 0 ≤ ln ≤ 32, val masked to ln
@@ -105,29 +141,44 @@ def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
                 jnp.where(keep, acc_lo, new_lo), nbits + ln)
 
     def drain(acc_hi, acc_lo, nbits, pos, out):
-        """Emit all complete bytes (≤ 4: nbits ≤ 39 on entry)."""
-        for _ in range(4):
+        """Emit complete bytes while any lane holds ≥ 8 pending bits
+        (≤ 4 passes: nbits ≤ 39 on entry)."""
+        def emit_cond(st):
+            nbits = st[0]
+            return jnp.any(nbits >= 8)
+
+        def emit(st):
+            nbits, pos, out = st
             can = nbits >= 8
             byte = _extract_byte_i32(acc_hi, acc_lo, nbits - 8)
-            byte = jnp.where(can, byte, -1)
-            out = jnp.where((out_cols == pos) & can, byte, out)
+            out = jnp.where((out_rows == pos) & can, byte, out)
             # 0xFF00 stuffing: skip the (pre-zeroed) next slot
             pos = pos + jnp.where(can, 1 + (byte == 0xFF), 0)
             nbits = nbits - jnp.where(can, 8, 0)
-        return nbits, pos, out
+            return nbits, pos, out
+
+        return jax.lax.while_loop(emit_cond, emit, (nbits, pos, out))
 
     def body(state):
         k, acc_hi, acc_lo, nbits, pos, out = state
-        active = k < n_compact
-        sel = kcols == k
-        sym_hi = jnp.sum(jnp.where(sel, c_hi, 0), axis=1, keepdims=True)
-        sym_lo = jnp.sum(jnp.where(sel, c_lo, 0), axis=1, keepdims=True)
-        ln = jnp.sum(jnp.where(sel, c_len, 0), axis=1, keepdims=True)
-        ln = jnp.where(active, ln, 0)
+        sym_hi = c_hi_ref[pl.ds(k, 1), :]       # (1, CHUNK)
+        sym_lo = c_lo_ref[pl.ds(k, 1), :]
+        ln = c_len_ref[pl.ds(k, 1), :]
+        ln = jnp.where(k < n_compact, ln, 0)
+        ln_hi = jnp.maximum(ln - 32, 0)
+
         # high piece: bits 32..ln (nonzero only for folded-ZRL slots)
-        acc_hi, acc_lo, nbits = shift_in(acc_hi, acc_lo, nbits, sym_hi,
-                                         jnp.maximum(ln - 32, 0))
-        nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
+        def with_hi(st):
+            acc_hi, acc_lo, nbits, pos, out = st
+            acc_hi, acc_lo, nbits = shift_in(acc_hi, acc_lo, nbits,
+                                             sym_hi, ln_hi)
+            nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
+            return acc_hi, acc_lo, nbits, pos, out
+
+        acc_hi, acc_lo, nbits, pos, out = jax.lax.cond(
+            jnp.any(ln_hi > 0), with_hi, lambda st: st,
+            (acc_hi, acc_lo, nbits, pos, out))
+
         # low piece: min(ln, 32) bits
         acc_hi, acc_lo, nbits = shift_in(acc_hi, acc_lo, nbits, sym_lo,
                                          jnp.minimum(ln, 32))
@@ -138,9 +189,9 @@ def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
         k = state[0]
         return jnp.any(k < n_compact) & (k < max_syms)
 
-    zc = jnp.zeros((CHUNK, 1), jnp.int32)
-    init = (jnp.zeros((), jnp.int32), zc, zc, zc, zc,
-            jnp.zeros((CHUNK, W), jnp.int32))
+    zr = jnp.zeros((1, CHUNK), jnp.int32)
+    init = (jnp.zeros((), jnp.int32), zr, zr, zr, zr,
+            jnp.zeros((W, CHUNK), jnp.int32))
     final = jax.lax.while_loop(cond, body, init)
     out_ref[:] = final[5]
     lens_ref[:] = final[4]
@@ -168,43 +219,44 @@ def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
     c_hi = b(c_hi.astype(jnp.uint32), jnp.int32)
     c_lo = b(c_lo.astype(jnp.uint32), jnp.int32)
 
-    CH = min(lane_chunk, max(8, 1 << (S - 1).bit_length()))
+    CH = min(lane_chunk, max(128, 1 << (S - 1).bit_length()))
     Sp = -(-S // CH) * CH
-    Kp = -(-K // 128) * 128
-    W = -(-m_out // 128) * 128
+    Kp = -(-K // 8) * 8        # symbols on the sublane axis: pad to 8
+    W = -(-m_out // 8) * 8
 
-    def padk(x):
-        return jnp.pad(x, ((0, Sp - S), (0, Kp - K)))
+    def padt(x):
+        """Pad lanes and transpose to the kernel's (K, S) layout."""
+        return jnp.pad(x, ((0, Sp - S), (0, Kp - K))).T
 
-    c_hi = padk(c_hi)
-    c_lo = padk(c_lo)
-    c_len = padk(c_len)
-    ncomp = jnp.pad(n_compact.astype(jnp.int32), (0, Sp - S))[:, None]
+    c_hi = padt(c_hi)
+    c_lo = padt(c_lo)
+    c_len = padt(c_len)
+    ncomp = jnp.pad(n_compact.astype(jnp.int32), (0, Sp - S))[None, :]
 
     kern = functools.partial(_kernel, max_syms=K)
-    row = lambda i: (i, 0)  # noqa: E731
+    col = lambda i: (0, i)  # noqa: E731
     out, lens = pl.pallas_call(
         kern,
         grid=(Sp // CH,),
         in_specs=[
-            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, Kp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH), col, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((CH, W), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH), col, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Sp, W), jnp.int32),
-            jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((W, Sp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Sp), jnp.int32),
         ),
         interpret=interpret,
     )(c_hi, c_lo, c_len, ncomp)
-    out_lens = lens[:S, 0]
+    out_lens = lens[0, :S]
     overflow = overflow | jnp.any(out_lens > m_out)
-    return (out[:S, :m_out].astype(jnp.uint8), out_lens, overflow)
+    return (out.T[:S, :m_out].astype(jnp.uint8), out_lens, overflow)
 
 
 def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,

@@ -152,7 +152,7 @@ class JpegDecoderSession:
 
     def __init__(self, header: Header, impl: str = "auto",
                  entropy: str = "native", coef_transfer: str = "auto",
-                 device_huffman: str = "range", mesh=None):
+                 device_huffman: str = "auto", mesh=None):
         """entropy: 'native' (C++ threads), 'python' (fallback spec), or
         'tpu' (vectorized on-device Huffman loop, one segment per lane).
         coef_transfer: 'dense', 'sparse' (bitmask+values upload for the
@@ -160,8 +160,10 @@ class JpegDecoderSession:
         'auto' (sparse on TPU, dense elsewhere).
         device_huffman: codeword strategy of the on-device entropy loop —
         'range' (canonical-range compares, tiny tables, XLA while_loop),
-        'lut' (flat 2^16 gather), or 'pallas' (range compares with the
-        whole symbol loop resident in VMEM — entropy/pallas_decode.py).
+        'lut' (flat 2^16 gather), 'pallas' (range compares with the
+        whole symbol loop resident in VMEM — entropy/pallas_decode.py),
+        or 'auto' (default: 'pallas' on TPU when its kernel state fits
+        VMEM — short-segment streams — else 'range').
         mesh: optional jax.sharding.Mesh — the fused device decode then
         shards restart segments over every mesh axis (the Huffman
         while_loop runs per shard; the datapath and plane assembly are
@@ -419,12 +421,36 @@ class JpegDecoderSession:
 
     def _device_decode_fn(self):
         """Resolve the on-device Huffman strategy → (decode_fn, lut_args).
-        All three are bit-identical on valid streams: 'range' (canonical
-        compares, XLA while_loop), 'lut' (flat 2^16 gather, XLA),
-        'pallas' (range compares with the whole symbol loop in VMEM)."""
+        All strategies are bit-identical on valid streams: 'range'
+        (canonical compares, XLA while_loop), 'lut' (flat 2^16 gather,
+        XLA), 'pallas' (range compares with the whole symbol loop in
+        VMEM), 'auto' (default: 'pallas' on TPU whenever the kernel's
+        per-chunk state fits VMEM with a wide lane chunk — the
+        many-short-segments regime, measured ~1.6x the XLA loop on a
+        real chip — otherwise 'range')."""
         from ..entropy import tpu_decode
 
-        if self.device_huffman == "pallas":
+        if self.device_huffman == "auto":
+            from ..entropy import pallas_decode
+
+            lut_args = tuple(map(jnp.asarray,
+                                 tpu_decode.range_tables(self.tables)))
+            n_comp = len(self.components)
+
+            def decode_fn(segbytes, seg_blocks, comp_sched, *luts,
+                          blocks_per_segment):
+                S, L = segbytes.shape
+                ch = pallas_decode.max_lane_chunk(L, blocks_per_segment)
+                if (jax.default_backend() == "tpu" and ch >= 128
+                        and S >= 64):
+                    return pallas_decode.decode_segments_pallas(
+                        segbytes, seg_blocks, comp_sched, *luts,
+                        blocks_per_segment=blocks_per_segment,
+                        n_components=n_comp, lane_chunk=ch)
+                return tpu_decode.decode_segments_device_range(
+                    segbytes, seg_blocks, comp_sched, *luts,
+                    blocks_per_segment=blocks_per_segment)
+        elif self.device_huffman == "pallas":
             from ..entropy import pallas_decode
 
             lut_args = tuple(map(jnp.asarray,
@@ -682,15 +708,17 @@ class JpegEncoderSession:
     def __init__(self, params: Parameters, restart_interval: int = 0,
                  impl: str = "auto", entropy: str = "native",
                  coef_transfer: str = "auto", mesh=None,
-                 device_pack: str = "xla"):
+                 device_pack: str = "auto"):
         """entropy: 'native' (C++ threads), 'python', or 'tpu' (on-device
         scan+scatter bitstream packing). coef_transfer: 'dense', 'sparse'
         (bitmask+values download of the quantized coefficients — ~4-6x
         less interconnect traffic), or 'auto' (sparse on TPU).
         device_pack: bitstream-pack strategy of the fused device encode —
-        'xla' (gather packer in the XLA graph) or 'pallas' (per-byte
-        cover search + stuffing in one VMEM-resident Mosaic kernel,
-        entropy/pallas_encode.py); bit-identical outputs.
+        'xla' (gather packer in the XLA graph), 'pallas' (sequential-FSM
+        pack + stuffing in one VMEM-resident Mosaic kernel,
+        entropy/pallas_encode.py), or 'auto' (default: 'pallas' on TPU
+        when its kernel state fits VMEM — short-segment streams — else
+        'xla'); bit-identical outputs.
         mesh: optional jax.sharding.Mesh — the fused device encode then
         shards restart segments over every mesh axis; per-segment byte
         lengths are exchanged with an all_gather and the wire stream is
@@ -940,15 +968,38 @@ class JpegEncoderSession:
                 jnp.asarray(prev_same), jnp.asarray(valid), tabs, cap)
 
     def _encode_segments_fn(self):
-        """Resolve the device pack strategy (both bit-identical)."""
+        """Resolve the device pack strategy (all bit-identical): 'xla',
+        'pallas', or 'auto' (default — 'pallas' on TPU whenever its
+        kernel state fits VMEM with a wide lane chunk, else 'xla')."""
+        from ..entropy import tpu_encode
+
+        if self.device_pack == "auto":
+            from ..entropy import pallas_encode
+
+            def fn(qcoefs, comp, prev, *tabs, blocks_per_segment,
+                   max_seg_bytes, valid=None):
+                S = qcoefs.shape[0] // blocks_per_segment
+                ch = pallas_encode.max_lane_chunk(blocks_per_segment,
+                                                  max_seg_bytes)
+                if (jax.default_backend() == "tpu" and ch >= 128
+                        and S >= 64):
+                    return pallas_encode.encode_segments_pallas(
+                        qcoefs, comp, prev, *tabs,
+                        blocks_per_segment=blocks_per_segment,
+                        max_seg_bytes=max_seg_bytes, valid=valid,
+                        lane_chunk=ch, interpret=False)
+                return tpu_encode.encode_segments_device(
+                    qcoefs, comp, prev, *tabs,
+                    blocks_per_segment=blocks_per_segment,
+                    max_seg_bytes=max_seg_bytes, valid=valid)
+
+            return fn
         if self.device_pack == "pallas":
             from ..entropy.pallas_encode import encode_segments_pallas
 
             return functools.partial(
                 encode_segments_pallas,
                 interpret=jax.default_backend() == "cpu")
-        from ..entropy import tpu_encode
-
         return tpu_encode.encode_segments_device
 
     def _build_device_e2e_enc_jit(self, max_seg_bytes: int):
