@@ -35,10 +35,11 @@ HBM across ~15 fused ops and pays O(M·OVERLAP) gathers; here one kernel
 invocation per lane chunk touches HBM exactly twice (operand load,
 result store).
 
-Symbol construction and zero-slot compaction stay in XLA (one cumsum +
-one unique-index scatter, already cheap); this kernel replaces the
-byte-grid stages, which dominate the 0.6 s/frame measured in round 1
-(BENCH_NOTES.md "device bitstream packer").
+Symbol construction stays in XLA; zero-slot compaction — which the XLA
+gather packer needs for its OVERLAP bound, and which measured as the
+dominant ~110 ms/frame XLA stage on a real chip — is skipped entirely:
+a zero-length slot is a no-op of the FSM, and walking ~2.5x more (empty)
+slots costs far less in-kernel than compacting them out in XLA.
 
 Lanes are restart segments (many-short-segments regime, like the decode
 kernel); long-segment/few-lane streams stay on the XLA path.
@@ -54,7 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tpu_encode import OVERLAP, _compact_symbols  # noqa: F401 (OVERLAP re-export)
+from .tpu_encode import OVERLAP  # noqa: F401 (re-export)
 
 _BIG = 1 << 30  # "invalid" sentinel (plain int: kernels close over it)
 
@@ -200,19 +201,21 @@ def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("m_raw", "m_out", "lane_chunk", "interpret"))
-def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
+def pack_stuff_pallas(c_hi, c_lo, c_len, raw_bytes_len,
                       *, m_raw: int, m_out: int, lane_chunk: int = 512,
                       interpret: bool = False):
-    """Compacted symbols (tpu_encode._compact_symbols layout) → stuffed
-    wire bytes. Returns (out (S, m_out) uint8, out_lens (S,), overflow).
+    """Symbol slots → stuffed wire bytes. Returns (out (S, m_out) uint8,
+    out_lens (S,), overflow).
 
-    Bit-identical to _pack_gather + _stuff_gather. The pad slot appended
-    by _compact_symbols byte-aligns every lane, so the kernel's bit
-    accumulator always drains completely."""
-    S, K = c_end.shape
+    Bit-identical to _pack_gather + _stuff_gather. Unlike the XLA packer
+    the kernel does NOT need compacted slots: a zero-length slot is a
+    no-op of the FSM (measured: skipping _compact_symbols removes the
+    dominant ~110 ms XLA stage for ~2.5x more — cheap — kernel steps).
+    The caller appends the byte-align pad slot so every lane's bit
+    accumulator drains completely."""
+    S, K = c_len.shape
     overflow = jnp.any(raw_bytes_len > m_raw)
-    c_len = jnp.where(jnp.arange(K)[None, :] < n_compact[:, None],
-                      c_end - c_off, 0).astype(jnp.int32)
+    c_len = c_len.astype(jnp.int32)
 
     # int32 raw bits for the kernel (logical-shift domain)
     b = jax.lax.bitcast_convert_type
@@ -231,7 +234,9 @@ def pack_stuff_pallas(c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
     c_hi = padt(c_hi)
     c_lo = padt(c_lo)
     c_len = padt(c_len)
-    ncomp = jnp.pad(n_compact.astype(jnp.int32), (0, Sp - S))[None, :]
+    # every real lane walks all K slots (zero-length slots are no-ops);
+    # mesh/chunk padding lanes exit immediately
+    ncomp = jnp.pad(jnp.full((S,), K, jnp.int32), (0, Sp - S))[None, :]
 
     kern = functools.partial(_kernel, max_syms=K)
     col = lambda i: (0, i)  # noqa: E731
@@ -266,7 +271,11 @@ def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
                            interpret: bool | None = None):
     """Drop-in alternative to tpu_encode.encode_segments_device with the
     byte pack + stuffing in the Pallas kernel. Same contract:
-    returns (bytes (S, M) uint8, seg_byte_lens (S,), overflow)."""
+    returns (bytes (S, M) uint8, seg_byte_lens (S,), overflow).
+
+    No slot compaction: the FSM kernel skips zero-length slots for free,
+    so only the byte-align pad slot (flush with 1-bits, the
+    bitstream_writer.ml flush_with_1s semantics) is appended here."""
     from .tpu_encode import SLOTS_PER_BLOCK, _symbol_parts
 
     if interpret is None:
@@ -281,10 +290,15 @@ def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
     sym_hi = sym_hi.reshape(S, B * SLOTS_PER_BLOCK)
     sym_lo = sym_lo.reshape(S, B * SLOTS_PER_BLOCK)
     sym_len = sym_len.reshape(S, B * SLOTS_PER_BLOCK)
-    c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len = _compact_symbols(
-        sym_hi, sym_lo, sym_len)
+    total_bits = jnp.sum(sym_len, axis=1)
+    pad_len = (-total_bits) & 7
+    pad_bits = ((1 << pad_len) - 1).astype(jnp.uint32)
+    c_hi = jnp.concatenate([sym_hi, jnp.zeros((S, 1), jnp.uint32)], axis=1)
+    c_lo = jnp.concatenate([sym_lo, pad_bits[:, None]], axis=1)
+    c_len = jnp.concatenate([sym_len, pad_len[:, None]], axis=1)
+    raw_bytes_len = (total_bits + pad_len) >> 3
     m_out = max_seg_bytes + max_seg_bytes // 4 + 8
     return pack_stuff_pallas(
-        c_hi, c_lo, c_end, c_off, n_compact, raw_bytes_len,
+        c_hi, c_lo, c_len, raw_bytes_len,
         m_raw=max_seg_bytes, m_out=m_out, lane_chunk=lane_chunk,
         interpret=interpret)

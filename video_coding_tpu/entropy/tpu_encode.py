@@ -287,13 +287,15 @@ def _symbol_parts(qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len,
     # all table lookups below go through FLAT 1-D gathers: multi-dim
     # advanced indexing lowers to a slow general gather on TPU (~70 ms
     # per 1080p frame measured), while a flat index into a 1-D table is
-    # ~0.05 ms for the same element count
-    dc_flat_b = dc_bits.reshape(-1)
-    dc_flat_l = dc_len.reshape(-1)
-    ac_flat_b = ac_bits.reshape(-1)
-    ac_flat_l = ac_len.reshape(-1)
-    dc_code = dc_flat_b[c * 12 + dsize]
-    dc_clen = dc_flat_l[c * 12 + dsize]
+    # ~0.05 ms for the same element count. code and length are packed
+    # into ONE int32 entry (code ≤ 16 bits, length ≤ 5 bits) so each
+    # lookup is one gather, not two — the per-element gathers are the
+    # stage's dominant cost on TPU.
+    dc_flat = (dc_bits.reshape(-1) << 5) | dc_len.reshape(-1)
+    ac_flat = (ac_bits.reshape(-1) << 5) | ac_len.reshape(-1)
+    dc_packed = dc_flat[c * 12 + dsize]
+    dc_code = dc_packed >> 5
+    dc_clen = dc_packed & 31
     dc_lo = (((dc_code << dsize) | _magnitude_bits(dsize, diff))
              .astype(jnp.uint32))
     dc_hi = jnp.zeros_like(dc_lo)
@@ -316,22 +318,25 @@ def _symbol_parts(qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len,
     final_run = ac_run & 15
     zrl_count = ac_run >> 4
     ac_idx = (c[:, None] * 16 + final_run) * 11 + asize
-    code = ac_flat_b[ac_idx]
-    clen = ac_flat_l[ac_idx]
+    ac_packed = ac_flat[ac_idx]
+    code = ac_packed >> 5
+    clen = ac_packed & 31
     base_lo = ((code << asize) | _magnitude_bits(asize, ac)).astype(jnp.uint32)
     base_hi = jnp.zeros_like(base_lo)
     base_len = jnp.where(ac_nz, clen + asize, 0)
 
     # fold the ≤3 ZRLs in front of their following code
-    zrl_bits = ac_flat_b[c * 176 + 15 * 11][:, None]
-    zrl_len = ac_flat_l[c * 176 + 15 * 11][:, None]
+    zrl_packed = ac_flat[c * 176 + 15 * 11][:, None]
+    zrl_bits = zrl_packed >> 5
+    zrl_len = zrl_packed & 31
     hi, lo, ln = base_hi, base_lo, base_len
     for k in (1, 2, 3):
         enable = ac_nz & (zrl_count >= k)
         hi, lo, ln = _prepend(hi, lo, ln, zrl_bits, zrl_len, enable)
 
-    eob_bits = ac_flat_b[c * 176]
-    eob_len = ac_flat_l[c * 176]
+    eob_packed = ac_flat[c * 176]
+    eob_bits = eob_packed >> 5
+    eob_len = eob_packed & 31
     need_eob = last_nz < 63
     eob_lo = jnp.where(need_eob, eob_bits, 0).astype(jnp.uint32)
 
@@ -431,7 +436,13 @@ def stream_scatter(out, lens, offsets, gidx, n_segments: int, cap: int):
 @functools.partial(jax.jit, static_argnames=("cap",))
 def assemble_stream_device(out, lens, *, cap: int):
     """Single-device wire assembly: segments joined with RSTn markers in
-    one scatter. Returns ((cap,) uint8 buffer, total wire bytes)."""
+    one scatter. Returns ((cap,) uint8 buffer, total wire bytes).
+
+    (A per-output-byte gather formulation was measured SLOWER — 32 ms vs
+    19 ms per 1080p ri=1 frame at worst-case buffers — the rank-count
+    cumsum over the whole wire buffer lowers poorly; the disjoint
+    scatter-add is the fast form here, and its cost tracks the locked
+    per-segment budget, not the worst case.)"""
     S = out.shape[0]
     gidx = jnp.arange(S)
     offsets = jnp.cumsum(lens) - lens + 2 * gidx
