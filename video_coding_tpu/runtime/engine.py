@@ -1293,13 +1293,18 @@ class JpegTranscodeSession:
 
     def __init__(self, header: Header, quality: int = 75,
                  restart_interval: int = 0, impl: str = "auto",
-                 entropy_out: str = "host", mesh=None):
+                 entropy_out: str = "auto", mesh=None):
         """entropy_out: 'host' re-encodes the entropy on the host C++
-        engine after a sparse coefficient download (the measured-fastest
-        decode+encode path), 'device' keeps the bitstream packing on
-        device (fully device-resident, minimal host traffic).
+        engine after a sparse coefficient download, 'device' keeps the
+        bitstream packing on device (fully device-resident, minimal host
+        traffic — measured faster on TPU since the round-2 FSM pack
+        kernel), or 'auto' (default: 'device' on TPU, 'host' elsewhere —
+        on the CPU backend the XLA-simulated device pack can't beat the
+        threaded C++ coder).
         mesh: optional Mesh — both halves then shard restart segments
         over the mesh (see the sessions' mesh parameter)."""
+        if entropy_out == "auto":
+            entropy_out = "device" if datapath._on_tpu() else "host"
         self.entropy_out = entropy_out
         self.decoder = JpegDecoderSession(header, impl=impl, mesh=mesh)
         frame_hdr = header.frame
