@@ -65,16 +65,20 @@ _VMEM_BUDGET = 8 << 20
 
 def max_lane_chunk(blocks_per_segment: int, max_seg_bytes: int) -> int:
     """Largest power-of-two lane chunk whose kernel state fits VMEM, or 0
-    when even 8 lanes don't fit. Per lane the kernel keeps the compacted
-    symbol arrays (hi, lo, len over B·65+1 slots) and the stuffed output
-    byte grid (~3 copies across carry + selects)."""
+    when even 8 lanes don't fit. Fused kernel (B ≤ FUSED_MAX_BLOCKS):
+    the (B·64,) coefficient column + ~3 copies of the output grid; split
+    kernel: the three (B·65+1,) symbol-slot arrays + output grid."""
     from .tpu_encode import SLOTS_PER_BLOCK
 
-    K = blocks_per_segment * SLOTS_PER_BLOCK + 1
-    Kp = -(-K // 8) * 8
+    B = blocks_per_segment
     m_out = max_seg_bytes + max_seg_bytes // 4 + 8
     W = -(-m_out // 8) * 8
-    per_lane = 4 * (3 * Kp + 3 * W)
+    if B <= FUSED_MAX_BLOCKS:
+        per_lane = 4 * (B * 64 + B + 3 * W)
+    else:
+        K = B * SLOTS_PER_BLOCK + 1
+        Kp = -(-K // 8) * 8
+        per_lane = 4 * (3 * Kp + 3 * W)
     ch = _VMEM_BUDGET // per_lane
     if ch < 8:
         return 0
@@ -92,6 +96,44 @@ def _extract_byte_i32(hi, lo, s):
     s_lt32 = (lo_part | hi_part) & 0xFF
     s_neg = shl(lo, jnp.clip(-s, 0, 8)) & 0xFF
     return jnp.where(s >= 32, s_ge32, jnp.where(s >= 0, s_lt32, s_neg))
+
+
+def _shift_in64(acc_hi, acc_lo, nbits, val, ln):
+    """acc = (acc << ln) | val for 0 ≤ ln ≤ 32 per lane, val masked to ln
+    bits here (bits of the operand at/above the symbol length may be
+    garbage)."""
+    shr = jax.lax.shift_right_logical
+    shl = jax.lax.shift_left
+    lnc = jnp.clip(ln, 0, 31)
+    val = jnp.where(ln == 32, val, val & (shl(1, lnc) - 1))
+    new_hi = jnp.where(
+        ln == 32, acc_lo,
+        shl(acc_hi, lnc) | jnp.where(
+            ln == 0, 0, shr(acc_lo, jnp.clip(32 - ln, 0, 31))))
+    new_lo = jnp.where(ln == 32, val, shl(acc_lo, lnc) | val)
+    keep = ln == 0
+    return (jnp.where(keep, acc_hi, new_hi),
+            jnp.where(keep, acc_lo, new_lo), nbits + ln)
+
+
+def _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows):
+    """Emit complete bytes at each lane's output cursor while any lane
+    holds ≥ 8 pending bits; 0xFF00 stuffing is a cursor skip (the
+    stuffed 0x00 is the untouched zero-initialized slot)."""
+    def emit_cond(st):
+        nbits = st[0]
+        return jnp.any(nbits >= 8)
+
+    def emit(st):
+        nbits, pos, out = st
+        can = nbits >= 8
+        byte = _extract_byte_i32(acc_hi, acc_lo, nbits - 8)
+        out = jnp.where((out_rows == pos) & can, byte, out)
+        pos = pos + jnp.where(can, 1 + (byte == 0xFF), 0)
+        nbits = nbits - jnp.where(can, 8, 0)
+        return nbits, pos, out
+
+    return jax.lax.while_loop(emit_cond, emit, (nbits, pos, out))
 
 
 def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
@@ -121,44 +163,11 @@ def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
     n_compact = ncomp_ref[:]                    # (1, CHUNK)
     CHUNK = n_compact.shape[1]
     W = out_ref.shape[0]
-
-    shr = jax.lax.shift_right_logical
-    shl = jax.lax.shift_left
     out_rows = jax.lax.broadcasted_iota(jnp.int32, (W, CHUNK), 0)
-
-    def shift_in(acc_hi, acc_lo, nbits, val, ln):
-        """acc = (acc << ln) | val for 0 ≤ ln ≤ 32, val masked to ln
-        bits here (bits of the slot words at/above the symbol length are
-        garbage — the XLA packer's windowed extraction never reads them)."""
-        lnc = jnp.clip(ln, 0, 31)
-        val = jnp.where(ln == 32, val, val & (shl(1, lnc) - 1))
-        new_hi = jnp.where(
-            ln == 32, acc_lo,
-            shl(acc_hi, lnc) | jnp.where(
-                ln == 0, 0, shr(acc_lo, jnp.clip(32 - ln, 0, 31))))
-        new_lo = jnp.where(ln == 32, val, shl(acc_lo, lnc) | val)
-        keep = ln == 0
-        return (jnp.where(keep, acc_hi, new_hi),
-                jnp.where(keep, acc_lo, new_lo), nbits + ln)
+    shift_in = _shift_in64
 
     def drain(acc_hi, acc_lo, nbits, pos, out):
-        """Emit complete bytes while any lane holds ≥ 8 pending bits
-        (≤ 4 passes: nbits ≤ 39 on entry)."""
-        def emit_cond(st):
-            nbits = st[0]
-            return jnp.any(nbits >= 8)
-
-        def emit(st):
-            nbits, pos, out = st
-            can = nbits >= 8
-            byte = _extract_byte_i32(acc_hi, acc_lo, nbits - 8)
-            out = jnp.where((out_rows == pos) & can, byte, out)
-            # 0xFF00 stuffing: skip the (pre-zeroed) next slot
-            pos = pos + jnp.where(can, 1 + (byte == 0xFF), 0)
-            nbits = nbits - jnp.where(can, 8, 0)
-            return nbits, pos, out
-
-        return jax.lax.while_loop(emit_cond, emit, (nbits, pos, out))
+        return _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows)
 
     def body(state):
         k, acc_hi, acc_lo, nbits, pos, out = state
@@ -264,24 +273,246 @@ def pack_stuff_pallas(c_hi, c_lo, c_len, raw_bytes_len,
     return (out.T[:S, :m_out].astype(jnp.uint8), out_lens, overflow)
 
 
+# fused-FSM kernel unrolls one prologue/epilogue per block at compile
+# time — cap the unroll (restart intervals this large route to the
+# split path; the VMEM gate usually bites first anyway)
+FUSED_MAX_BLOCKS = 32
+
+
+def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
+                lens_ref, *, comp_sched: tuple, unroll: int):
+    """One lane chunk: quantized zigzag coefficients → stuffed wire
+    bytes + lengths, the ENTIRE entropy encoder in one kernel.
+
+    This is the full RTL encoder chain (Run_length_encode →
+    Huffman_encode → Bitstream_writer, encoder_datapath.ml:129-187) as a
+    vectorized FSM — run-length state, DC predictors, Huffman lookups,
+    bit accumulator and stuffing cursor all live in registers, one
+    restart segment per lane:
+
+    - the block schedule is static per session, so each block's
+      component — and therefore its Huffman table rows and its ZRL/EOB
+      codewords — are compile-time constants (the analog of the RTL's
+      elaboration-time table ROMs, huffman_encode.ml:55-97);
+    - per-lane (run, size) lookups are one-hot reductions over the
+      block's static 176-entry AC table column;
+    - runs emit ZRL eagerly at run==16 — safe because positions past
+      the block's last nonzero are masked off, so every counted run is
+      followed by a real codeword;
+    - symbols are ≤ 27 bits (code ≤ 16 + magnitude ≤ 11), so one ZRL +
+      one codeword fit the 64-bit accumulator per step with a single
+      adaptive drain.
+
+    coefs_ref (B·64, CHUNK) int32; valid_ref (B, CHUNK); dctab/actab
+    (C·12, 1)/(C·176, 1) packed (code<<5 | len) columns.
+    """
+    B = len(comp_sched)
+    CHUNK = out_ref.shape[1]
+    W = out_ref.shape[0]
+    shr = jax.lax.shift_right_logical
+    shl = jax.lax.shift_left
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (W, CHUNK), 0)
+    shift_in = _shift_in64
+
+    def drain(acc_hi, acc_lo, nbits, pos, out):
+        return _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows)
+
+    def bitlen(v):
+        """Size category of v ≥ 0 (≤ 2047)."""
+        r = jnp.zeros_like(v)
+        for t in range(11):
+            r = r + (v >= (1 << t)).astype(jnp.int32)
+        return r
+
+    def iabs(v):
+        # explicit form: keep to the op vocabulary Mosaic lowers
+        return jnp.where(v < 0, 0 - v, v)
+
+    def lookup_col(tabcol, idx, n):
+        """tabcol (n, 1) int32, idx (1, CHUNK) → tabcol[idx] (1, CHUNK)
+        as a one-hot reduction (no per-lane gathers on TPU)."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, CHUNK), 0)
+        return jnp.sum(jnp.where(rows == idx, tabcol, 0), axis=0,
+                       keepdims=True)
+
+    def mag_bits(v, size):
+        return jnp.where(v >= 0, v, v - 1) & (shl(1, size) - 1)
+
+    zr = jnp.zeros((1, CHUNK), jnp.int32)
+    acc_hi, acc_lo, nbits, pos = zr, zr, zr, zr
+    out = jnp.zeros((W, CHUNK), jnp.int32)
+    C = dctab_ref.shape[0] // 12
+    dcpred = jnp.zeros((C, CHUNK), jnp.int32)
+    crows = jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 0)
+
+    for b in range(B):
+        comp = int(comp_sched[b])
+        base = b * 64
+        vb = valid_ref[b:b + 1, :] != 0
+        dcrow = dctab_ref[comp * 12:(comp + 1) * 12, :]
+        acrow = actab_ref[comp * 176:(comp + 1) * 176, :]
+        zpk = acrow[15 * 11:15 * 11 + 1, :]          # ZRL (run 15, size 0)
+        epk = acrow[0:1, :]                          # EOB (run 0, size 0)
+
+        # --- DC: differential vs per-component predictor ----------------
+        coef0 = coefs_ref[base:base + 1, :]
+        prev = dcpred[comp:comp + 1, :]
+        diff = jnp.where(vb, coef0 - prev, 0)
+        dcpred = jnp.where((crows == comp) & vb, coef0, dcpred)
+        dsize = bitlen(jnp.abs(diff))
+        dpk = lookup_col(dcrow, dsize, 12)
+        dval = shl(shr(dpk, 5), dsize) | mag_bits(diff, dsize)
+        acc_hi, acc_lo, nbits = shift_in(
+            acc_hi, acc_lo, nbits, dval,
+            jnp.where(vb, (dpk & 31) + dsize, 0))
+        nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
+
+        # --- AC positions 1..63 -----------------------------------------
+        blk = coefs_ref[base + 1:base + 64, :]       # (63, CHUNK)
+        jrows = jax.lax.broadcasted_iota(jnp.int32, (63, CHUNK), 0) + 1
+        last_nz = jnp.max(jnp.where(blk != 0, jrows, 0), axis=0,
+                          keepdims=True)
+
+        def jbody(j, st, base=base, vb=vb, last_nz=last_nz, zpk=zpk,
+                  acrow=acrow):
+            acc_hi, acc_lo, nbits, pos, out, run = st
+            coef = coefs_ref[pl.ds(base + j, 1), :]
+            active = vb & (j <= last_nz)
+            nz = active & (coef != 0)
+            run = run + (active & (coef == 0)).astype(jnp.int32)
+            zfire = run == 16
+            acc_hi, acc_lo, nbits = shift_in(
+                acc_hi, acc_lo, nbits, shr(zpk, 5),
+                jnp.where(zfire, zpk & 31, 0))
+            run = jnp.where(zfire, 0, run)
+            asize = bitlen(jnp.abs(coef))
+            apk = lookup_col(acrow, run * 11 + asize, 176)
+            aval = shl(shr(apk, 5), asize) | mag_bits(coef, asize)
+            acc_hi, acc_lo, nbits = shift_in(
+                acc_hi, acc_lo, nbits, aval,
+                jnp.where(nz, (apk & 31) + asize, 0))
+            run = jnp.where(nz, 0, run)
+            nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
+            return (acc_hi, acc_lo, nbits, pos, out, run)
+
+        st = (acc_hi, acc_lo, nbits, pos, out, zr)
+        st = jax.lax.fori_loop(1, 64, jbody, st, unroll=unroll)
+        acc_hi, acc_lo, nbits, pos, out, _run = st
+
+        # --- EOB when the block doesn't reach position 63 ----------------
+        need_eob = vb & (last_nz < 63)
+        acc_hi, acc_lo, nbits = shift_in(
+            acc_hi, acc_lo, nbits, shr(epk, 5),
+            jnp.where(need_eob, epk & 31, 0))
+        nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
+
+    # --- flush to byte boundary with 1-bits (flush_with_1s) --------------
+    pad = (-nbits) & 7
+    acc_hi, acc_lo, nbits = shift_in(acc_hi, acc_lo, nbits,
+                                     shl(1, pad) - 1, pad)
+    nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
+    out_ref[:] = out
+    lens_ref[:] = pos
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("comp_sched", "m_out", "lane_chunk", "unroll",
+                     "interpret"))
+def encode_segments_fused(qc_seg, valid_seg, dctab, actab, *,
+                          comp_sched: tuple, m_out: int,
+                          lane_chunk: int = 512, unroll: int = 4,
+                          interpret: bool = False):
+    """Fused per-segment entropy encode: (S, B·64) int32 coefficients →
+    (out (S, m_out) uint8, out_lens (S,), overflow). The whole RLE +
+    Huffman + pack + stuff chain runs in _fsm_kernel."""
+    S = qc_seg.shape[0]
+    B = len(comp_sched)
+    CH = min(lane_chunk, max(128, 1 << (S - 1).bit_length()))
+    Sp = -(-S // CH) * CH
+    W = -(-m_out // 8) * 8
+    Bv = -(-B // 8) * 8   # sublane-align the per-block valid rows
+
+    coefs = jnp.pad(qc_seg.astype(jnp.int32), ((0, Sp - S), (0, 0))).T
+    valid = jnp.pad(valid_seg.astype(jnp.int32),
+                    ((0, Sp - S), (0, Bv - B))).T
+    kern = functools.partial(_fsm_kernel, comp_sched=comp_sched,
+                             unroll=unroll)
+    col = lambda i: (0, i)  # noqa: E731
+    rep = lambda i: (0, 0)  # noqa: E731
+    out, lens = pl.pallas_call(
+        kern,
+        grid=(Sp // CH,),
+        in_specs=[
+            pl.BlockSpec((B * 64, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bv, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dctab.shape, rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec(actab.shape, rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((W, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH), col, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, Sp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Sp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(coefs, valid, dctab, actab)
+    out_lens = lens[0, :S]
+    overflow = jnp.any(out_lens > m_out)
+    return (out.T[:S, :m_out].astype(jnp.uint8), out_lens, overflow)
+
+
 def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
                            dc_len, ac_bits, ac_len, *,
                            blocks_per_segment: int, max_seg_bytes: int,
                            valid=None, lane_chunk: int = 512,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           comp_sched_static: tuple | None = None):
     """Drop-in alternative to tpu_encode.encode_segments_device with the
-    byte pack + stuffing in the Pallas kernel. Same contract:
-    returns (bytes (S, M) uint8, seg_byte_lens (S,), overflow).
+    entropy coding in a Pallas kernel. Same contract: returns
+    (bytes (S, M) uint8, seg_byte_lens (S,), overflow).
 
-    No slot compaction: the FSM kernel skips zero-length slots for free,
-    so only the byte-align pad slot (flush with 1-bits, the
-    bitstream_writer.ml flush_with_1s semantics) is appended here."""
+    Two forms, both bit-identical to the host coders:
+
+    - **fused** (default whenever the block schedule is concrete and the
+      segment is ≤ FUSED_MAX_BLOCKS blocks): the whole RLE + Huffman +
+      pack + stuff chain in _fsm_kernel — no XLA symbol construction at
+      all (which measured 18.6 ms/frame of the old 25.4 ms total);
+    - **split** (fallback, also used when tracing without a concrete
+      schedule): XLA _symbol_parts feeding the pack_stuff_pallas packer.
+      No slot compaction either way: zero-length slots are FSM no-ops;
+      the split path appends the byte-align pad slot (flush with
+      1-bits, the bitstream_writer.ml flush_with_1s semantics) here."""
     from .tpu_encode import SLOTS_PER_BLOCK, _symbol_parts
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B = blocks_per_segment
     S = qcoefs.shape[0] // B
+
+    sched = comp_sched_static
+    if sched is None and B <= FUSED_MAX_BLOCKS:
+        try:
+            sched = tuple(int(x) for x in np.asarray(comp_idx[:B]))
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            sched = None  # traced schedule → split path
+    if sched is not None and B > FUSED_MAX_BLOCKS:
+        sched = None
+    if sched is not None:
+        dctab = ((dc_bits.astype(jnp.int32) << 5)
+                 | dc_len.astype(jnp.int32)).reshape(-1, 1)
+        actab = ((ac_bits.astype(jnp.int32) << 5)
+                 | ac_len.astype(jnp.int32)).reshape(-1, 1)
+        valid_seg = (jnp.ones((S, B), jnp.int32) if valid is None
+                     else valid.reshape(S, B).astype(jnp.int32))
+        m_out = max_seg_bytes + max_seg_bytes // 4 + 8
+        return encode_segments_fused(
+            qcoefs.reshape(S, B * 64), valid_seg, dctab, actab,
+            comp_sched=sched, m_out=m_out, lane_chunk=lane_chunk,
+            interpret=interpret)
+
     sym_hi, sym_lo, sym_len = _symbol_parts(
         qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len, ac_bits, ac_len,
         B)

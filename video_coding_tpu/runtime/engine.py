@@ -973,6 +973,13 @@ class JpegEncoderSession:
         kernel state fits VMEM with a wide lane chunk, else 'xla')."""
         from ..entropy import tpu_encode
 
+        # the block schedule is static per session — pass it through so
+        # the fused FSM kernel (whole entropy coder in-kernel) can bake
+        # the per-block table rows in at compile time
+        B = self.blocks_per_segment
+        sched_static = tuple(
+            int(x) for x in np.resize(self.comp_idx[:B], B))
+
         if self.device_pack == "auto":
             from ..entropy import pallas_encode
 
@@ -987,7 +994,8 @@ class JpegEncoderSession:
                         qcoefs, comp, prev, *tabs,
                         blocks_per_segment=blocks_per_segment,
                         max_seg_bytes=max_seg_bytes, valid=valid,
-                        lane_chunk=ch, interpret=False)
+                        lane_chunk=ch, interpret=False,
+                        comp_sched_static=sched_static)
                 return tpu_encode.encode_segments_device(
                     qcoefs, comp, prev, *tabs,
                     blocks_per_segment=blocks_per_segment,
@@ -999,7 +1007,8 @@ class JpegEncoderSession:
 
             return functools.partial(
                 encode_segments_pallas,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu",
+                comp_sched_static=sched_static)
         return tpu_encode.encode_segments_device
 
     def _build_device_e2e_enc_jit(self, max_seg_bytes: int):
