@@ -395,6 +395,9 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
             nbits, pos, out = drain(acc_hi, acc_lo, nbits, pos, out)
             return (acc_hi, acc_lo, nbits, pos, out, run)
 
+        # Mosaic's scan lowering accepts only unroll=1 or the full trip
+        # count (63) — anything else raises NotImplementedError at
+        # lowering time (this zeroed round 2's bench).
         st = (acc_hi, acc_lo, nbits, pos, out, zr)
         st = jax.lax.fori_loop(1, 64, jbody, st, unroll=unroll)
         acc_hi, acc_lo, nbits, pos, out, _run = st
@@ -421,7 +424,7 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
                      "interpret"))
 def encode_segments_fused(qc_seg, valid_seg, dctab, actab, *,
                           comp_sched: tuple, m_out: int,
-                          lane_chunk: int = 512, unroll: int = 4,
+                          lane_chunk: int = 512, unroll: int = 1,
                           interpret: bool = False):
     """Fused per-segment entropy encode: (S, B·64) int32 coefficients →
     (out (S, m_out) uint8, out_lens (S,), overflow). The whole RLE +

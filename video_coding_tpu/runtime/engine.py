@@ -42,6 +42,43 @@ def _mesh_devices(mesh) -> int:
     return int(mesh.size) if mesh is not None else 1
 
 
+def _fail_soft_jit(session, builder, args):
+    """Wrap a built jit graph so an 'auto'-strategy session survives a
+    Pallas lowering/compile regression: on the first failure the session's
+    Pallas routes are permanently disabled, every cached graph is marked
+    for rebuild (now tracing the XLA forms), and the call retries once.
+    The software analog of the reference decoder's error strobes aborting
+    a block instead of the machine (codeblock_decoder.ml:19-26). Explicit
+    strategy selections ('pallas') stay loud — only 'auto' degrades."""
+    cell = [None]
+
+    def call(*xs):
+        if cell[0] is None:
+            cell[0] = builder(*args)
+        try:
+            return cell[0](*xs)
+        except Exception as err:  # noqa: BLE001 — retried once, then loud
+            if (getattr(session, "_pallas_disabled", False)
+                    or not session._has_auto_pallas()):
+                raise
+            import warnings
+
+            warnings.warn(
+                "device Pallas strategy failed to compile/run; this "
+                f"session falls back to the XLA form permanently: {err!r}",
+                RuntimeWarning, stacklevel=2)
+            session._pallas_disabled = True
+            for fn in session.__dict__.get("_jit_cache", {}).values():
+                reset = getattr(fn, "_reset", None)
+                if reset is not None:
+                    reset()
+            cell[0] = builder(*args)
+            return cell[0](*xs)
+
+    call._reset = lambda: cell.__setitem__(0, None)
+    return call
+
+
 def _pad_segments_for_mesh(segbytes: np.ndarray, seg_blocks: np.ndarray,
                            n_devices: int):
     """Append empty segments (0 blocks) so the lane axis divides the mesh;
@@ -413,11 +450,21 @@ class JpegDecoderSession:
 
     def _cached_jit(self, key, builder, *args):
         # per-instance cache (a class-level lru_cache would pin sessions
-        # and their device LUTs/graphs alive indefinitely)
+        # and their device LUTs/graphs alive indefinitely); every graph
+        # is wrapped fail-soft (see _fail_soft_jit)
         cache = self.__dict__.setdefault("_jit_cache", {})
         if key not in cache:
-            cache[key] = builder(*args)
+            cache[key] = _fail_soft_jit(self, builder, args)
         return cache[key]
+
+    def _has_auto_pallas(self) -> bool:
+        return self.device_huffman == "auto"
+
+    def _pallas_eligible(self, ch: int, S: int) -> bool:
+        """Route this geometry to the Pallas kernel? (auto strategy;
+        consulted at trace time so a fail-soft rebuild re-decides.)"""
+        return (jax.default_backend() == "tpu" and ch >= 128 and S >= 64
+                and not getattr(self, "_pallas_disabled", False))
 
     def _device_decode_fn(self):
         """Resolve the on-device Huffman strategy → (decode_fn, lut_args).
@@ -441,8 +488,7 @@ class JpegDecoderSession:
                           blocks_per_segment):
                 S, L = segbytes.shape
                 ch = pallas_decode.max_lane_chunk(L, blocks_per_segment)
-                if (jax.default_backend() == "tpu" and ch >= 128
-                        and S >= 64):
+                if self._pallas_eligible(ch, S):
                     return pallas_decode.decode_segments_pallas(
                         segbytes, seg_blocks, comp_sched, *luts,
                         blocks_per_segment=blocks_per_segment,
@@ -939,8 +985,16 @@ class JpegEncoderSession:
     def _cached_jit(self, key, builder, *args):
         cache = self.__dict__.setdefault("_jit_cache", {})
         if key not in cache:
-            cache[key] = builder(*args)
+            cache[key] = _fail_soft_jit(self, builder, args)
         return cache[key]
+
+    def _has_auto_pallas(self) -> bool:
+        return self.device_pack == "auto"
+
+    def _pallas_eligible(self, ch: int, S: int) -> bool:
+        """See JpegDecoderSession._pallas_eligible."""
+        return (jax.default_backend() == "tpu" and ch >= 128 and S >= 64
+                and not getattr(self, "_pallas_disabled", False))
 
     def _enc_geometry(self, max_seg_bytes: int):
         """Static geometry + device tables shared by the fused encode
@@ -988,8 +1042,7 @@ class JpegEncoderSession:
                 S = qcoefs.shape[0] // blocks_per_segment
                 ch = pallas_encode.max_lane_chunk(blocks_per_segment,
                                                   max_seg_bytes)
-                if (jax.default_backend() == "tpu" and ch >= 128
-                        and S >= 64):
+                if self._pallas_eligible(ch, S):
                     return pallas_encode.encode_segments_pallas(
                         qcoefs, comp, prev, *tabs,
                         blocks_per_segment=blocks_per_segment,
