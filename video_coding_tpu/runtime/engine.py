@@ -91,6 +91,26 @@ def _pad_segments_for_mesh(segbytes: np.ndarray, seg_blocks: np.ndarray,
     return segbytes, seg_blocks
 
 
+def _balance_segments(segbytes: np.ndarray, seg_blocks: np.ndarray,
+                      seg_lens: np.ndarray, n_shards: int):
+    """Load-balance entropy lanes: sort segments by byte length
+    (descending, stable) and deal them round-robin across shards, so
+    every shard gets the same mix of long and short segments (kills the
+    longest-segment-padding outlier at high lane counts) and, within a
+    shard, lanes of similar length share a Pallas lane chunk (short
+    chunks' symbol loops exit early instead of idling behind one long
+    lane). Returns the permuted arrays + the inverse permutation the
+    decode graph applies to restore stream order on device."""
+    S = segbytes.shape[0]
+    order = np.argsort(-seg_lens.astype(np.int64), kind="stable")
+    if n_shards > 1:
+        order = np.concatenate([order[s::n_shards]
+                                for s in range(n_shards)])
+    inv = np.empty(S, np.int32)
+    inv[order] = np.arange(S, dtype=np.int32)
+    return segbytes[order], seg_blocks[order], inv
+
+
 def _shard_map_unchecked(fn, mesh, in_specs, out_specs):
     """shard_map with the replication (VMA) checker off: outputs derived
     from all_gather'd lengths are replicated by construction, but the
@@ -418,7 +438,7 @@ class JpegDecoderSession:
 
         self._check_device_entropy_route()
         segments = entropy_scan.destuff_segments(entropy_data)
-        segbytes, _lens = tpu_decode.pack_segments(segments)
+        segbytes, lens = tpu_decode.pack_segments(segments)
         S = len(segments)
         B = self.blocks_per_segment
         n_seg_expected = (self.n_blocks + B - 1) // B
@@ -430,6 +450,9 @@ class JpegDecoderSession:
             seg_blocks[-1] = self.n_blocks % B
         segbytes, seg_blocks = _pad_segments_for_mesh(
             segbytes, seg_blocks, _mesh_devices(self.mesh))
+        lens = np.pad(np.asarray(lens), (0, segbytes.shape[0] - S))
+        segbytes, seg_blocks, inv_perm = _balance_segments(
+            segbytes, seg_blocks, lens, _mesh_devices(self.mesh))
         # bucket the byte length to bound recompiles
         L = 1 << max(8, (segbytes.shape[1] - 1).bit_length())
         if L > segbytes.shape[1]:
@@ -440,7 +463,8 @@ class JpegDecoderSession:
 
         axes = tuple(self.mesh.axis_names) if self.mesh is not None else ()
         return fn(_global_input(segbytes, self.mesh, P(axes, None)),
-                  _global_input(seg_blocks, self.mesh, P(axes)))
+                  _global_input(seg_blocks, self.mesh, P(axes)),
+                  _global_input(inv_perm, self.mesh, P()))
 
     def decode_device(self, entropy_data: bytes) -> Frame:
         return self._to_frame(self.decode_device_e2e(entropy_data))
@@ -553,8 +577,10 @@ class JpegDecoderSession:
         n_blocks = self.n_blocks
         entropy_fn = self._entropy_graph()
 
-        def run(segbytes, seg_blocks):
+        def run(segbytes, seg_blocks, inv_perm):
             coefs3 = entropy_fn(segbytes, seg_blocks)
+            # undo the load-balancing lane permutation (stream order)
+            coefs3 = jnp.take(coefs3, inv_perm, axis=0)
             return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
 
         return jax.jit(run, out_shardings=_replicated(self.mesh))
@@ -583,13 +609,17 @@ class JpegDecoderSession:
             if len(segs) != n_seg:
                 raise DecodeError("restart segment count mismatch")
             all_segments.extend(segs)
-        segbytes, _ = tpu_decode.pack_segments(all_segments)
+        segbytes, lens = tpu_decode.pack_segments(all_segments)
         seg_blocks = np.full(n_seg, B, dtype=np.int32)
         if self.n_blocks % B:
             seg_blocks[-1] = self.n_blocks % B
         seg_blocks = np.tile(seg_blocks, F)
         segbytes, seg_blocks = _pad_segments_for_mesh(
             segbytes, seg_blocks, _mesh_devices(self.mesh))
+        lens = np.pad(np.asarray(lens),
+                      (0, segbytes.shape[0] - len(all_segments)))
+        segbytes, seg_blocks, inv_perm = _balance_segments(
+            segbytes, seg_blocks, lens, _mesh_devices(self.mesh))
         L = 1 << max(8, (segbytes.shape[1] - 1).bit_length())
         if L > segbytes.shape[1]:
             segbytes = np.pad(segbytes,
@@ -599,7 +629,8 @@ class JpegDecoderSession:
 
         axes = tuple(self.mesh.axis_names) if self.mesh is not None else ()
         return fn(_global_input(segbytes, self.mesh, P(axes, None)),
-                  _global_input(seg_blocks, self.mesh, P(axes)))
+                  _global_input(seg_blocks, self.mesh, P(axes)),
+                  _global_input(inv_perm, self.mesh, P()))
 
     def _device_e2e_batch_jit(self, F: int, L: int):
         return self._cached_jit(("e2e_batch", F, L),
@@ -611,9 +642,11 @@ class JpegDecoderSession:
         n_seg = (n_blocks + B - 1) // B
         entropy_fn = self._entropy_graph()
 
-        def run(segbytes, seg_blocks):
+        def run(segbytes, seg_blocks, inv_perm):
             coefs3 = entropy_fn(segbytes, seg_blocks)
-            # mesh-divisibility padding segments trail the real ones
+            # undo the load-balancing permutation; mesh-divisibility
+            # padding segments then trail the real ones again
+            coefs3 = jnp.take(coefs3, inv_perm, axis=0)
             coefs = coefs3[:F * n_seg].reshape(
                 F, n_seg * B, 64)[:, :n_blocks, :]
             return self._decode_tail_batch(coefs.reshape(-1, 64), F)
@@ -968,12 +1001,17 @@ class JpegEncoderSession:
         for msb in self._enc_budget_ladder():
             buf, total, max_len, overflow = self._device_e2e_enc_jit(msb)(
                 *dev)
-            if not bool(overflow):
+            # one overlapped scalar fetch (total+max_len+overflow ride
+            # together) instead of three blocking round trips; the only
+            # other sync is the final body transfer itself
+            total_i, max_i, ovf = map(int, jax.device_get(
+                (total, max_len, overflow)))
+            if not ovf:
                 break
         else:
             raise ValueError("device entropy encode overflow")
-        self._record_seg_bytes(int(max_len))
-        body = np.asarray(buf[:int(total)]).tobytes()
+        self._record_seg_bytes(max_i)
+        body = np.asarray(buf[:total_i]).tobytes()
         return b"".join((self._header_bytes, body,
                          bytes((0xFF, marker_codes.EOI))))
 
@@ -1178,12 +1216,14 @@ class JpegEncoderSession:
         for msb in self._enc_budget_ladder():
             bufs, totals, max_len, overflow = self._device_e2e_enc_batch_jit(
                 F, msb)(*stacked)
-            if not bool(overflow):
+            totals_h, max_i, ovf = jax.device_get(
+                (totals, max_len, overflow))
+            if not bool(ovf):
                 break
         else:
             raise ValueError("device entropy encode overflow")
-        self._record_seg_bytes(int(max_len))
-        totals = np.asarray(totals)
+        self._record_seg_bytes(int(max_i))
+        totals = np.asarray(totals_h)
         hdr = self._header_bytes
         eoi = bytes((0xFF, marker_codes.EOI))
         return [b"".join((hdr, np.asarray(bufs[f, :totals[f]]).tobytes(),
