@@ -1,0 +1,119 @@
+"""Stage profile of the fused device decode: host prep (destuff + pack +
+balance), upload, entropy kernel, datapath+assembly — to find where
+decode_device_e2e's wall time goes.
+
+    timeout 560 python benchmarks/decode_profile.py --iters 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--quality", type=int, default=75)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.common.frame import ChromaSubsampling, Frame
+    from video_coding_tpu.common.plane import Plane
+    from video_coding_tpu.entropy import scan as entropy_scan
+    from video_coding_tpu.entropy import tpu_decode
+    from video_coding_tpu.model.decoder import Header, decode_a_frame
+    from video_coding_tpu.model.encoder import Parameters
+    from video_coding_tpu.runtime import engine as eng
+
+    W, H = 1920, 1080
+    mpix = W * H * 1.5 / 1e6
+    platform = jax.devices()[0].platform
+    mouse = decode_a_frame(
+        open("/root/reference/jpeg/test_data/Mouse480.jpg", "rb").read())
+
+    def tile(d, h, w):
+        ph, pw = d.shape
+        return np.tile(d, ((h + ph - 1) // ph, (w + pw - 1) // pw))[:h, :w]
+
+    frame = Frame(Plane(data=tile(mouse.y.data, H, W).copy()),
+                  Plane(data=tile(mouse.u.data, H // 2, W // 2).copy()),
+                  Plane(data=tile(mouse.v.data, H // 2, W // 2).copy()),
+                  ChromaSubsampling.C420)
+    params = Parameters.c420(W, H, args.quality)
+    stream = eng.JpegEncoderSession(params, restart_interval=1).encode(frame)
+    bits = BitReader(stream)
+    header = Header.decode(bits)
+    payload = stream[bits.bit_pos >> 3:]
+
+    sess = eng.JpegDecoderSession(header)
+
+    def t(fn, n=args.iters):
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+        jax.block_until_ready(r) if hasattr(r, "block_until_ready") or \
+            isinstance(r, (tuple, list)) else None
+        return (time.perf_counter() - t0) / n * 1e3, r
+
+    # stage 1: host destuff (C++)
+    ms_destuff, segments = t(lambda: entropy_scan.destuff_segments(payload))
+    # stage 2: host pack to (S, L)
+    ms_pack, (segbytes, lens) = t(lambda: tpu_decode.pack_segments(segments))
+    S = len(segments)
+    B = sess.blocks_per_segment
+    seg_blocks = np.full(S, B, dtype=np.int32)
+    if sess.n_blocks % B:
+        seg_blocks[-1] = sess.n_blocks % B
+    # stage 3: balance + pad (host)
+    ms_bal, (sb2, sgb2, inv) = t(lambda: eng._balance_segments(
+        segbytes, seg_blocks, np.asarray(lens), 1))
+    L = 1 << max(8, (sb2.shape[1] - 1).bit_length())
+    sb2p = np.pad(sb2, ((0, 0), (0, L - sb2.shape[1])))
+    # stage 4: upload
+    ms_up, dev = t(lambda: jax.block_until_ready(
+        (jnp.asarray(sb2p), jnp.asarray(sgb2), jnp.asarray(inv))))
+    dsb, dsgb, dinv = dev
+
+    # stage 5: full device graph from resident arrays
+    fn = sess._device_e2e_jit(L)
+    ms_dev, _ = t(lambda: jax.block_until_ready(fn(dsb, dsgb, dinv)))
+
+    # stage 5a: entropy kernel only, resident
+    from video_coding_tpu.entropy import pallas_decode
+    lo, hi, off, values = map(jnp.asarray,
+                              tpu_decode.range_tables(sess.tables))
+    sched = jnp.asarray(sess.comp_idx[:B])
+    ms_ent, _ = t(lambda: jax.block_until_ready(
+        pallas_decode.decode_segments_pallas_t(
+            dsb, dsgb, sched, lo, hi, off, values,
+            blocks_per_segment=B, n_components=len(sess.components))))
+
+    # end to end (the bench number)
+    ms_e2e, _ = t(lambda: jax.block_until_ready(
+        sess.decode_device_e2e(payload)))
+
+    print(json.dumps({
+        "bench": "decode_profile", "platform": platform, "S": S, "L": L,
+        "ms_destuff": round(ms_destuff, 2), "ms_pack": round(ms_pack, 2),
+        "ms_balance": round(ms_bal, 2), "ms_upload": round(ms_up, 2),
+        "ms_device_graph": round(ms_dev, 2),
+        "ms_entropy_kernel": round(ms_ent, 2),
+        "ms_e2e": round(ms_e2e, 2),
+        "mpix_s_e2e": round(mpix / (ms_e2e / 1e3), 1)}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

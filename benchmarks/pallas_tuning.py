@@ -24,6 +24,10 @@ def main(argv=None) -> int:
     p.add_argument("--quality", type=int, default=75)
     p.add_argument("--syms", default="2,4")
     p.add_argument("--chunks", default="256,512,1024")
+    p.add_argument("--kernel", default="sublanes",
+                   choices=["sublanes", "lanes"])
+    p.add_argument("--sort", action="store_true",
+                   help="sort segments by byte length (engine behavior)")
     args = p.parse_args(argv)
 
     import jax
@@ -65,25 +69,40 @@ def main(argv=None) -> int:
               for c in dec.components)
     golden = dec.decode_entropy()
 
-    segbytes, _ = tpu_decode.pack_segments(dec.entropy_segments)
+    segbytes, seg_lens = tpu_decode.pack_segments(dec.entropy_segments)
     S = len(dec.entropy_segments)
-    seg_blocks = jnp.asarray(np.full(S, mcu, dtype=np.int32))
+    seg_blocks_np = np.full(S, mcu, dtype=np.int32)
+    perm = np.arange(S)
+    if args.sort:
+        perm = np.argsort(seg_lens, kind="stable")
+        segbytes = segbytes[perm]
+        seg_blocks_np = seg_blocks_np[perm]
+    seg_blocks = jnp.asarray(seg_blocks_np)
     segb = jnp.asarray(segbytes)
     sched = jnp.asarray(comp_idx[:mcu])
     lo, hi, off, values = map(jnp.asarray, tpu_decode.range_tables(tabs))
+    golden_segs = golden.reshape(S, mcu, 64)
 
     for spi in (int(x) for x in args.syms.split(",")):
         for ch in (int(x) for x in args.chunks.split(",")):
             try:
-                def run():
-                    return pallas_decode.decode_segments_pallas(
-                        segb, seg_blocks, sched, lo, hi, off, values,
-                        blocks_per_segment=mcu, n_components=3,
-                        lane_chunk=ch, syms_per_iter=spi,
-                        interpret=jax.default_backend() == "cpu")
+                if args.kernel == "lanes":
+                    def run():
+                        return pallas_decode.decode_segments_pallas_t(
+                            segb, seg_blocks, sched, lo, hi, off, values,
+                            blocks_per_segment=mcu, n_components=3,
+                            lanes=ch, syms_per_iter=spi,
+                            interpret=jax.default_backend() == "cpu")
+                else:
+                    def run():
+                        return pallas_decode.decode_segments_pallas(
+                            segb, seg_blocks, sched, lo, hi, off, values,
+                            blocks_per_segment=mcu, n_components=3,
+                            lane_chunk=ch, syms_per_iter=spi,
+                            interpret=jax.default_backend() == "cpu")
                 out = np.asarray(jax.block_until_ready(run()))
                 ok = np.array_equal(
-                    out.reshape(-1, 64)[:len(comp_idx)], golden)
+                    out.reshape(S, mcu, 64)[np.argsort(perm)], golden_segs)
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
                     r = run()

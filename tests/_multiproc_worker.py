@@ -35,9 +35,10 @@ def main() -> int:
     from video_coding_tpu.parallel.pipeline import (_luma_rate_tables,
                                                     rate_exact_bits)
 
-    # ---- frame-sharded codec step across the two processes -------------
+    # ---- frame-sharded codec step across the processes ------------------
     mesh = global_codec_mesh(seg_parallel=2)
-    assert dict(mesh.shape) == {"data": 2, "seg": 2}
+    n_dev = 2 * num_processes
+    assert dict(mesh.shape) == {"data": n_dev // 2, "seg": 2}
     rng = np.random.default_rng(7)
     F, N = 4, 8
     frames_global = rng.integers(0, 256, size=(F, N, 8, 8)).astype(np.uint8)

@@ -224,6 +224,7 @@ def test_auto_pallas_fail_soft_decode(mini64_frames, monkeypatch):
         raise NotImplementedError("simulated Mosaic lowering failure")
 
     monkeypatch.setattr(pallas_decode, "decode_segments_pallas", boom)
+    monkeypatch.setattr(pallas_decode, "decode_segments_pallas_t", boom)
     monkeypatch.setattr(JpegDecoderSession, "_pallas_eligible",
                         lambda self, ch, S: not getattr(
                             self, "_pallas_disabled", False))

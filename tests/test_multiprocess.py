@@ -30,7 +30,7 @@ def _free_port() -> int:
 
 
 
-def test_two_process_distributed_codec():
+def _run_distributed(n_procs: int) -> None:
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # axon plugin must not register
@@ -39,10 +39,10 @@ def test_two_process_distributed_codec():
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_WORKER))
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, coordinator, "2", str(pid)],
+            [sys.executable, _WORKER, coordinator, str(n_procs), str(pid)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        for pid in range(2)
+        for pid in range(n_procs)
     ]
     outs = []
     try:
@@ -56,3 +56,13 @@ def test_two_process_distributed_codec():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER{pid} OK" in out
+
+
+def test_two_process_distributed_codec():
+    _run_distributed(2)
+
+
+def test_four_process_distributed_codec():
+    """4 controllers x 2 devices: the 8-device global mesh spans four OS
+    processes (VERDICT r2 item 10) — same bit/byte-exactness asserts."""
+    _run_distributed(4)

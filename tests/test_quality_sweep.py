@@ -1,0 +1,96 @@
+"""Quality x subsampling x restart-interval sweeps through the DEVICE
+codec paths, asserting bit/byte-exactness vs the golden model.
+
+The CPU-tier mirror of the reference's cram sweeps: the RTL decoder tier
+decodes model-encoded bitstreams at q=99..10
+(jpeg/hardcaml/cram_tests/test-toplevel-decoder.t:14-25) and the model
+encodes at q in {30,50,95} x {420,422,444} with external-golden checks
+(jpeg/test/model-encode-and-decode.t:1-76). Here every combination runs
+through decode_device_e2e / encode_device / JpegTranscodeSession on the
+hermetic backend (XLA while_loop strategies; the Mosaic-compiled
+equivalents run the same sweep on chip in tests/test_tpu_lane.py).
+"""
+
+import numpy as np
+import pytest
+
+from video_coding_tpu.common.bitstream import BitReader
+from video_coding_tpu.common.frame import ChromaSubsampling, Frame
+from video_coding_tpu.common.plane import Plane
+from video_coding_tpu.model import decoder as mdec
+from video_coding_tpu.model import encoder as menc
+from video_coding_tpu.model.encoder import Parameters
+from video_coding_tpu.runtime import engine
+
+W, H = 64, 48
+
+_ENCODERS = {
+    ChromaSubsampling.C420: (menc.encode_420, Parameters.c420, 16),
+    ChromaSubsampling.C422: (menc.encode_422, Parameters.c422, 16),
+    ChromaSubsampling.C444: (menc.encode_444, Parameters.c444, 8),
+}
+
+
+def _rand_frame(sub: ChromaSubsampling, seed: int = 7) -> Frame:
+    rng = np.random.default_rng(seed)
+    cw, ch = sub.chroma_width(W), sub.chroma_height(H)
+
+    def plane(w, h):
+        return Plane(data=rng.integers(0, 256, (h, w)).astype(np.uint8))
+
+    return Frame(plane(W, H), plane(cw, ch), plane(cw, ch), sub)
+
+
+def _header_payload(stream: bytes):
+    bits = BitReader(stream)
+    header = mdec.Header.decode(bits)
+    return header, stream[bits.bit_pos >> 3 :]
+
+
+@pytest.mark.parametrize("sub", list(_ENCODERS))
+@pytest.mark.parametrize("interval", ["1", "row"])
+def test_decode_device_quality_sweep(sub, interval):
+    """decode_device_e2e is bit-exact vs the model across the quality
+    range on every subsampling and segment geometry (short segments hit
+    the lane-parallel strategies, row segments the long-segment route)."""
+    encode, _params, mcu_w = _ENCODERS[sub]
+    ri = 1 if interval == "1" else (W + mcu_w - 1) // mcu_w
+    src = _rand_frame(sub)
+    qs = (10, 30, 50, 75, 95) if interval == "1" else (10, 50, 95)
+    for q in qs:
+        stream = encode(src, q, restart_interval=ri)
+        header, payload = _header_payload(stream)
+        golden = mdec.decode_a_frame(stream)
+        sess = engine.JpegDecoderSession(header)
+        got = sess.decode_device(payload)
+        for p in "yuv":
+            assert np.array_equal(
+                getattr(got, p).data, getattr(golden, p).data
+            ), f"{sub} q={q} ri={ri} plane {p}"
+
+
+@pytest.mark.parametrize("sub", list(_ENCODERS))
+def test_encode_device_quality_sweep(sub):
+    """encode_device emits byte-identical streams to the model encoder at
+    the reference's encode sweep qualities (model-encode-and-decode.t)."""
+    encode, params, _mcu_w = _ENCODERS[sub]
+    src = _rand_frame(sub)
+    for q in (30, 50, 95):
+        ref = encode(src, q, restart_interval=1)
+        sess = engine.JpegEncoderSession(params(W, H, q),
+                                         restart_interval=1)
+        assert sess.encode_device(src) == ref, f"{sub} q={q}"
+
+
+@pytest.mark.parametrize("sub", list(_ENCODERS))
+def test_transcode_quality_sweep(sub):
+    """Device transcode (q=50 in, q=75 out) equals the model's
+    decode-then-re-encode byte-for-byte on every subsampling."""
+    encode, _params, _mcu_w = _ENCODERS[sub]
+    src = _rand_frame(sub)
+    stream = encode(src, 50, restart_interval=2)
+    header, payload = _header_payload(stream)
+    t = engine.JpegTranscodeSession(header, quality=75, restart_interval=2)
+    out = t.transcode(payload)
+    ref = encode(mdec.decode_a_frame(stream), 75, restart_interval=2)
+    assert out == ref

@@ -123,6 +123,72 @@ def test_transcode_on_chip(small_stream):
         assert np.array_equal(getattr(a, p).data, getattr(b, p).data)
 
 
+@pytest.mark.parametrize("sub,interval,q", [
+    ("420", "1", 10), ("420", "1", 95),
+    ("420", "row", 10), ("420", "row", 95),
+    ("444", "1", 50), ("422", "1", 50),
+])
+def test_decode_quality_sweep_on_chip(sub, interval, q):
+    """On-chip mirror of tests/test_quality_sweep.py (the reference's
+    cram q-sweep, test-toplevel-decoder.t:14-25): the Mosaic-compiled
+    decode path is bit-exact across quality/subsampling/segmentation.
+    Kept compact — each (geometry, q) is a fresh on-chip compile."""
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.common.frame import ChromaSubsampling, Frame
+    from video_coding_tpu.common.plane import Plane
+    from video_coding_tpu.model import decoder as mdec
+    from video_coding_tpu.model import encoder as menc
+    from video_coding_tpu.runtime.engine import JpegDecoderSession
+
+    rng = np.random.default_rng(3)
+    w, h = 96, 64
+    subs = {"420": (ChromaSubsampling.C420, menc.encode_420, 16),
+            "422": (ChromaSubsampling.C422, menc.encode_422, 16),
+            "444": (ChromaSubsampling.C444, menc.encode_444, 8)}
+    cs, encode, mcu_w = subs[sub]
+    cw, chh = cs.chroma_width(w), cs.chroma_height(h)
+    frame = Frame(
+        Plane(data=rng.integers(0, 256, (h, w)).astype(np.uint8)),
+        Plane(data=rng.integers(0, 256, (chh, cw)).astype(np.uint8)),
+        Plane(data=rng.integers(0, 256, (chh, cw)).astype(np.uint8)), cs)
+    ri = 1 if interval == "1" else (w + mcu_w - 1) // mcu_w
+    stream = encode(frame, q, restart_interval=ri)
+    bits = BitReader(stream)
+    header = mdec.Header.decode(bits)
+    payload = stream[bits.bit_pos >> 3:]
+    golden = mdec.decode_a_frame(stream)
+    got = JpegDecoderSession(header).decode_device(payload)
+    for p in "yuv":
+        assert np.array_equal(getattr(got, p).data, getattr(golden, p).data)
+
+
+@pytest.mark.parametrize("sub,q", [("420", 50), ("444", 95)])
+def test_encode_quality_sweep_on_chip(sub, q):
+    """Device encode is byte-identical to the model across the encode
+    sweep (model-encode-and-decode.t) on chip."""
+    from video_coding_tpu.common.frame import ChromaSubsampling, Frame
+    from video_coding_tpu.common.plane import Plane
+    from video_coding_tpu.model import encoder as menc
+    from video_coding_tpu.model.encoder import Parameters
+    from video_coding_tpu.runtime.engine import JpegEncoderSession
+
+    rng = np.random.default_rng(4)
+    w, h = 96, 64
+    subs = {"420": (ChromaSubsampling.C420, menc.encode_420,
+                    Parameters.c420),
+            "444": (ChromaSubsampling.C444, menc.encode_444,
+                    Parameters.c444)}
+    cs, encode, params = subs[sub]
+    cw, chh = cs.chroma_width(w), cs.chroma_height(h)
+    frame = Frame(
+        Plane(data=rng.integers(0, 256, (h, w)).astype(np.uint8)),
+        Plane(data=rng.integers(0, 256, (chh, cw)).astype(np.uint8)),
+        Plane(data=rng.integers(0, 256, (chh, cw)).astype(np.uint8)), cs)
+    ref = encode(frame, q, restart_interval=1)
+    sess = JpegEncoderSession(params(w, h, q), restart_interval=1)
+    assert sess.encode_device(frame) == ref
+
+
 def test_pallas_packer_on_chip(small_stream):
     """The Mosaic-compiled pack+stuff kernel emits byte-identical streams
     on the real chip."""

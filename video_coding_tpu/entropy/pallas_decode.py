@@ -285,12 +285,265 @@ def decode_segments_pallas(segbytes: jax.Array, seg_blocks: jax.Array,
     return out[:S].reshape(S, B, 64)
 
 
+# ---------------------------------------------------------------------------
+# Lanes-major ("transposed") kernel
+#
+# The kernel above keeps segments on the *sublane* axis and every one-hot
+# domain (peek window bytes, value table, coefficient block) on the
+# *lane* axis — so each per-symbol one-hot reduce is a cross-lane
+# reduction, which Mosaic lowers as a log2(128)-step shuffle tree per
+# vreg. The variant below transposes the layout: segments ride the
+# 128-lane axis and every one-hot domain rides sublanes, where a reduce
+# is (vregs-1) adds + 3 sublane rolls — near element-wise cost. Three
+# further shrinks of the per-symbol element count:
+#   * peeks read a 32-bit window at 16-bit stride (exactly the RTL
+#     reader's refill granule, bitstream_reader.ml:36-57): the window
+#     index is bitpos>>4 and the in-window shift bitpos&15, so one
+#     half-width reduce replaces the byte-granularity window gather;
+#   * the flat values table is packed 4 entries per int32 (entries are
+#     (run<<4)|size bytes), quartering the lookup reduce;
+#   * small tables (component schedule, canonical range rows) arrive
+#     pre-transposed so per-lane selection is a lane-broadcast of
+#     (rows, 1) columns, never a relayout.
+# Bit-identical output to the sublane-major kernel and the XLA loops.
+# ---------------------------------------------------------------------------
+
+
+def max_lanes_t(L: int, blocks_per_segment: int) -> int:
+    """Lane count (multiple of 128) for the lanes-major kernel whose
+    per-grid-step state fits the VMEM budget, or 0 if even 128 lanes
+    don't fit. Per lane: the stride-16 windows (~NW int32) and ~4 copies
+    of the (B*64,) int32 coefficient carry across the while state."""
+    NW = max((L - 2) // 2, 1)
+    NWp = -(-NW // 8) * 8
+    per_lane = 4 * (NWp + 4 * blocks_per_segment * 64)
+    lanes = _VMEM_BUDGET // per_lane
+    if lanes < 128:
+        return 0
+    return min(1024, (lanes // 128) * 128)
+
+
+def _kernel_t(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
+              values_ref, out_ref, *, blocks: int, n_components: int,
+              n_tables: int, max_iters: int, syms_per_iter: int):
+    NW = words_ref.shape[0]
+    LANES = words_ref.shape[1]
+    B = blocks
+    Bp = sched_ref.shape[0]
+    C = n_components
+    T = n_tables
+    V4 = values_ref.shape[0]
+    W64 = B * 64
+
+    words = words_ref[:]                       # (NW, LANES) int32 windows
+    seg_blocks = segblk_ref[:]                 # (1, LANES)
+    sched = sched_ref[:]                       # (Bp, 1)
+    values = values_ref[:]                     # (V4, 1) packed 4x uint8
+    nw_rows = jax.lax.broadcasted_iota(jnp.int32, (NW, LANES), 0)
+    b_rows = jax.lax.broadcasted_iota(jnp.int32, (Bp, LANES), 0)
+    v_rows = jax.lax.broadcasted_iota(jnp.int32, (V4, LANES), 0)
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (W64, LANES), 0)
+    c_rows = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 0)
+    lens16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0) + 1
+
+    def peek(bitpos):
+        # 32-bit window at 16-bit stride: in-window shift is bitpos&15,
+        # so the peek is a half-width one-hot reduce + logical shifts
+        wp = jnp.clip(bitpos >> 4, 0, NW - 1)
+        w32 = jnp.sum(jnp.where(nw_rows == wp, words, 0), axis=0,
+                      keepdims=True)
+        sh = bitpos & 15
+        return jax.lax.shift_right_logical(w32, 16 - sh) & 0xFFFF
+
+    def table_rows(t):
+        lo_s = jnp.zeros((16, LANES), jnp.int32)
+        hi_s = jnp.zeros((16, LANES), jnp.int32)
+        off_s = jnp.zeros((16, LANES), jnp.int32)
+        for tt in range(T):
+            m = t == tt
+            lo_s = jnp.where(m, lo_ref[:, tt:tt + 1], lo_s)
+            hi_s = jnp.where(m, hi_ref[:, tt:tt + 1], hi_s)
+            off_s = jnp.where(m, off_ref[:, tt:tt + 1], off_s)
+        return lo_s, hi_s, off_s
+
+    def lookup(t, w16):
+        lo_t, hi_t, off_t = table_rows(t)
+        valid = (w16 >= lo_t) & (w16 < hi_t)
+        code_len = jnp.sum(jnp.where(valid, lens16, 0), axis=0,
+                           keepdims=True)
+        lo_sel = jnp.sum(jnp.where(valid, lo_t, 0), axis=0, keepdims=True)
+        off_sel = jnp.sum(jnp.where(valid, off_t, 0), axis=0,
+                          keepdims=True)
+        shift = 16 - jnp.maximum(code_len, 1)
+        flat_idx = jnp.clip(off_sel + ((w16 - lo_sel) >> shift), 0,
+                            V4 * 4 - 1)
+        word = jnp.sum(jnp.where(v_rows == flat_idx >> 2, values, 0),
+                       axis=0, keepdims=True)
+        data = jax.lax.shift_right_logical(
+            word, (flat_idx & 3) * 8) & 0xFF
+        return code_len, jnp.where(code_len > 0, data, 0)
+
+    def magnitude(cat, code):
+        # decoder.ml:73-79 sign extension
+        neg = (code & (1 << jnp.maximum(cat - 1, 0))) == 0
+        val = jnp.where(neg & (cat > 0), code - (1 << cat) + 1, code)
+        return jnp.where(cat == 0, 0, val)
+
+    def step_once(bitpos, blk, cof, in_ac_c, dc_pred, coefs):
+        in_ac = in_ac_c != 0
+        active = blk < seg_blocks
+        comp = jnp.sum(
+            jnp.where(b_rows == jnp.clip(blk, 0, B - 1), sched, 0),
+            axis=0, keepdims=True)
+        w16 = peek(bitpos)
+        code_len, data = lookup(comp + in_ac_c * C, w16)
+        run = jnp.where(in_ac, (data >> 4) & 0xF, 0)
+        cat = jnp.where(in_ac, data & 0xF, data)
+        magpos = bitpos + code_len
+        wmag = peek(magpos)
+        mag_code = jnp.where(
+            cat > 0, wmag >> (PEEK_BITS - jnp.maximum(cat, 1)), 0)
+        val = magnitude(cat, mag_code)
+        new_bitpos = magpos + cat
+
+        # --- DC phase: dc_pred (C, LANES) one-hot update -------------
+        is_comp = c_rows == comp
+        new_dc = jnp.where(is_comp & (~in_ac & active), dc_pred + val,
+                           dc_pred)
+        dc_val = jnp.sum(jnp.where(is_comp, new_dc, 0), axis=0,
+                         keepdims=True)
+
+        # --- AC phase ------------------------------------------------
+        is_eob = in_ac & (run == 0) & (cat == 0)
+        new_cof_ac = cof + run
+        write_ac = in_ac & ~is_eob & active & (new_cof_ac < 64)
+        write_dc = ~in_ac & active
+        do_write = write_dc | write_ac
+        write_cof = jnp.where(write_dc, 0, jnp.clip(new_cof_ac, 0, 63))
+        write_val = jnp.where(write_dc, dc_val, val)
+        w = jnp.clip(blk, 0, B - 1) * 64 + write_cof
+        coefs = jnp.where((out_rows == w) & do_write, write_val, coefs)
+
+        cof_after = jnp.where(in_ac,
+                              jnp.where(is_eob, 64, new_cof_ac + 1),
+                              1)
+        block_done = in_ac & (is_eob | (cof_after >= 64))
+        new_blk = jnp.where(block_done & active, blk + 1, blk)
+        new_in_ac = jnp.where(block_done, 0,
+                              jnp.where(~in_ac, 1, in_ac_c))
+        new_cof = jnp.where(block_done, 0, cof_after)
+        bitpos = jnp.where(active, new_bitpos, bitpos)
+        return (bitpos, new_blk, new_cof, new_in_ac, new_dc, coefs)
+
+    def body(state):
+        it, *rest = state
+        for _ in range(syms_per_iter):
+            rest = step_once(*rest)
+        return (it + 1, *rest)
+
+    def cond(state):
+        it, _bitpos, blk, _cof, _in_ac, _dc, _coefs = state
+        return jnp.any(blk < seg_blocks) & (it < max_iters)
+
+    zl = jnp.zeros((1, LANES), jnp.int32)
+    init = (
+        jnp.zeros((), jnp.int32),
+        zl,                                    # bitpos
+        zl,                                    # blk
+        zl,                                    # cof
+        zl,                                    # in_ac (0/1 int32)
+        jnp.zeros((C, LANES), jnp.int32),      # dc_pred
+        jnp.zeros((W64, LANES), jnp.int32),    # coefs
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = final[6]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blocks_per_segment", "n_components", "lanes",
+                     "syms_per_iter", "interpret"))
+def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
+                             comp_sched: jax.Array, lo: jax.Array,
+                             hi: jax.Array, offset: jax.Array,
+                             values: jax.Array, *,
+                             blocks_per_segment: int, n_components: int,
+                             lanes: int = 512, syms_per_iter: int = 2,
+                             interpret: bool = False) -> jax.Array:
+    """Lanes-major variant of decode_segments_pallas: same arguments and
+    bit-identical result, with segments on the TPU lane axis so the
+    per-symbol one-hot reductions run across sublanes."""
+    S, L = segbytes.shape
+    B = blocks_per_segment
+    T = lo.shape[0]
+    # stride-16 32-bit windows: window w covers bits [16w, 16w+32) of the
+    # segment (pack_segments guarantees ≥4 guard bytes)
+    NW = max((L - 2) // 2, 1)
+    segu = segbytes.astype(jnp.uint32)
+    s0 = segu[:, 0:2 * NW - 1:2]
+    s1 = segu[:, 1:2 * NW:2]
+    s2 = segu[:, 2:2 * NW + 1:2]
+    s3 = segu[:, 3:2 * NW + 2:2]
+    words = jax.lax.bitcast_convert_type(
+        (s0 << 24) | (s1 << 16) | (s2 << 8) | s3, jnp.int32).T  # (NW, S)
+    LANES = min(lanes, max(128, -(-S // 128) * 128))
+    Sp = -(-S // LANES) * LANES
+    NWp = -(-NW // 8) * 8
+    words = jnp.pad(words, ((0, NWp - NW), (0, Sp - S)))
+    segb = jnp.pad(seg_blocks.astype(jnp.int32), (0, Sp - S))[None, :]
+    Bp = -(-B // 8) * 8
+    sched = jnp.pad(comp_sched.astype(jnp.int32), (0, Bp - B))[:, None]
+    # pack the flat values (uint8 entries) 4 per int32, little-endian
+    vals = values.astype(jnp.int32).reshape(-1, 4)
+    packed = (vals[:, 0] | (vals[:, 1] << 8) | (vals[:, 2] << 16)
+              | (vals[:, 3] << 24))
+    V4 = packed.shape[0]
+    V4p = -(-V4 // 8) * 8
+    packed = jnp.pad(packed, (0, V4p - V4))[:, None]
+    lo_t = lo.astype(jnp.int32).T
+    hi_t = hi.astype(jnp.int32).T
+    off_t = offset.astype(jnp.int32).T
+
+    grid = (Sp // LANES,)
+    kern = functools.partial(
+        _kernel_t, blocks=B, n_components=n_components, n_tables=T,
+        max_iters=(B * 65 + 64) // syms_per_iter + 2,
+        syms_per_iter=syms_per_iter)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NWp, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V4p, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B * 64, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * 64, Sp), jnp.int32),
+        interpret=interpret,
+    )(words, segb, sched, lo_t, hi_t, off_t, packed)
+    return out[:, :S].T.reshape(S, B, 64)
+
+
 def decode_scan_pallas(segments: list[bytes], comp_idx: np.ndarray,
                        blocks_per_segment: int, tables,
                        gather_impl: str = "onehot",
+                       layout: str = "sublanes",
                        interpret: bool | None = None) -> np.ndarray:
     """Drop-in alternative to tpu_decode.decode_scan_tpu running the
-    Huffman loop in the Pallas kernel. Returns (n_blocks, 64) int32."""
+    Huffman loop in the Pallas kernel (layout: 'sublanes' = original
+    kernel, 'lanes' = transposed kernel). Returns (n_blocks, 64) int32."""
     from .tpu_decode import pack_segments, range_tables
 
     if interpret is None:
@@ -304,10 +557,16 @@ def decode_scan_pallas(segments: list[bytes], comp_idx: np.ndarray,
     comp_sched = np.asarray(comp_idx[:blocks_per_segment], dtype=np.int32)
     lo, hi, off, values = range_tables(tables)
     n_components = lo.shape[0] // 2
-    out = decode_segments_pallas(
-        jnp.asarray(segbytes), jnp.asarray(seg_blocks),
-        jnp.asarray(comp_sched), jnp.asarray(lo), jnp.asarray(hi),
-        jnp.asarray(off), jnp.asarray(values),
-        blocks_per_segment=blocks_per_segment, n_components=n_components,
-        gather_impl=gather_impl, interpret=interpret)
+    args = (jnp.asarray(segbytes), jnp.asarray(seg_blocks),
+            jnp.asarray(comp_sched), jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(off), jnp.asarray(values))
+    if layout == "lanes":
+        out = decode_segments_pallas_t(
+            *args, blocks_per_segment=blocks_per_segment,
+            n_components=n_components, interpret=interpret)
+    else:
+        out = decode_segments_pallas(
+            *args, blocks_per_segment=blocks_per_segment,
+            n_components=n_components, gather_impl=gather_impl,
+            interpret=interpret)
     return np.asarray(out).reshape(S * blocks_per_segment, 64)[:n_blocks]

@@ -67,6 +67,32 @@ def destuff_segments_with_markers(
     return extract_entropy_segments_with_markers(BitReader(data))
 
 
+def destuff_flat(data: bytes, use_native: bool | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Destuffed scan as ONE flat uint8 buffer plus per-segment byte
+    lengths — no per-segment Python bytes objects. The zero-copy input
+    for the device decode paths: the (S, L) lane matrix is built on
+    device by a gather from this buffer (runtime/engine.py), so only
+    ~len(data) bytes cross the host->device link instead of the padded
+    matrix."""
+    lib = native.load() if use_native in (None, True) else None
+    if lib is not None:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(len(data) + 8, dtype=np.uint8)
+        max_segs = len(data) // 2 + 2
+        seg_ends = np.zeros(max_segs, dtype=np.int64)
+        seg_marks = np.zeros(max_segs, dtype=np.int64)
+        n = lib.vct_destuff_segments_m(arr, len(arr), out, seg_ends,
+                                       seg_marks, max_segs)
+        if n > 0:
+            ends = seg_ends[:n]
+            starts = np.concatenate([[0], ends[:-1]])
+            return out[:int(ends[-1])], (ends - starts).astype(np.int64)
+    segments = destuff_segments(data, use_native)
+    flat = np.frombuffer(b"".join(segments), dtype=np.uint8)
+    return flat, np.array([len(s) for s in segments], dtype=np.int64)
+
+
 def destuff_and_decode_scan(data: bytes, comp_idx: np.ndarray,
                             blocks_per_segment: int, tables: DecoderTables,
                             n_threads: int | None = None) -> np.ndarray:

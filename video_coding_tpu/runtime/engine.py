@@ -437,17 +437,12 @@ class JpegDecoderSession:
         from ..entropy import tpu_decode
 
         self._check_device_entropy_route()
+        if self.mesh is None:
+            return self._decode_device_e2e_flat(entropy_data)
         segments = entropy_scan.destuff_segments(entropy_data)
         segbytes, lens = tpu_decode.pack_segments(segments)
         S = len(segments)
-        B = self.blocks_per_segment
-        n_seg_expected = (self.n_blocks + B - 1) // B
-        if S != n_seg_expected:
-            raise DecodeError(
-                f"expected {n_seg_expected} restart segments, got {S}")
-        seg_blocks = np.full(S, B, dtype=np.int32)
-        if self.n_blocks % B:
-            seg_blocks[-1] = self.n_blocks % B
+        seg_blocks = self._expected_seg_blocks(S)
         segbytes, seg_blocks = _pad_segments_for_mesh(
             segbytes, seg_blocks, _mesh_devices(self.mesh))
         lens = np.pad(np.asarray(lens), (0, segbytes.shape[0] - S))
@@ -461,10 +456,83 @@ class JpegDecoderSession:
         fn = self._device_e2e_jit(L)
         from jax.sharding import PartitionSpec as P
 
-        axes = tuple(self.mesh.axis_names) if self.mesh is not None else ()
+        axes = tuple(self.mesh.axis_names)
         return fn(_global_input(segbytes, self.mesh, P(axes, None)),
                   _global_input(seg_blocks, self.mesh, P(axes)),
                   _global_input(inv_perm, self.mesh, P()))
+
+    def _expected_seg_blocks(self, S: int) -> np.ndarray:
+        B = self.blocks_per_segment
+        n_seg_expected = (self.n_blocks + B - 1) // B
+        if S != n_seg_expected:
+            raise DecodeError(
+                f"expected {n_seg_expected} restart segments, got {S}")
+        seg_blocks = np.full(S, B, dtype=np.int32)
+        if self.n_blocks % B:
+            seg_blocks[-1] = self.n_blocks % B
+        return seg_blocks
+
+    @staticmethod
+    def _flat_lane_inputs(flat: np.ndarray, lens64: np.ndarray,
+                          seg_blocks: np.ndarray):
+        """Host prep for the flat-upload decode: per-segment offsets into
+        the flat buffer, length-sorted lane permutation (load balance),
+        and power-of-two static-shape buckets. Returns
+        (flat_padded, starts, lens, seg_blocks, inv_perm, L, M)."""
+        S = len(lens64)
+        lens = lens64.astype(np.int32)
+        starts = np.zeros(S, np.int32)
+        np.cumsum(lens[:-1], out=starts[1:])
+        order = np.argsort(-lens64, kind="stable")
+        inv_perm = np.empty(S, np.int32)
+        inv_perm[order] = np.arange(S, dtype=np.int32)
+        L = 1 << max(6, int(int(lens.max()) + 4 - 1).bit_length())
+        M = 1 << max(12, (len(flat) + 8 - 1).bit_length())
+        flat_p = np.zeros(M, np.uint8)
+        flat_p[:len(flat)] = flat
+        return (flat_p, starts[order], lens[order], seg_blocks[order],
+                inv_perm, L, M)
+
+    @staticmethod
+    def _gather_lanes(flat, starts, lens, L: int):
+        """Traced (S, L) zero-padded lane matrix from the flat buffer —
+        the device-side replacement for pack_segments (tail bytes past a
+        segment's length are zeroed to match the host reader's
+        zero-past-EOF semantics, bitstream_reader.ml / BitReader)."""
+        cols = jnp.arange(L, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(starts[:, None] + cols, 0, flat.shape[0] - 1)
+        return jnp.where(cols < lens[:, None], flat[idx], 0)
+
+    def _decode_device_e2e_flat(self, entropy_data: bytes):
+        """Single-device fused decode with the lane matrix built ON
+        device: the host uploads the flat destuffed scan (~the compressed
+        size) + per-segment offsets, and the jit prelude gathers the
+        (S, L) zero-padded lanes from it. Kills the host pack loop and
+        the padded-matrix transfer (measured 11.5 + 43 ms/frame at 1080p
+        ri=1 through this container's tunnel — BENCH_NOTES round 3)."""
+        flat, lens64 = entropy_scan.destuff_flat(entropy_data)
+        seg_blocks = self._expected_seg_blocks(len(lens64))
+        flat_p, starts, lens, seg_blocks, inv_perm, L, M = \
+            self._flat_lane_inputs(flat, lens64, seg_blocks)
+        fn = self._device_e2e_flat_jit(L, M)
+        return fn(flat_p, jnp.asarray(starts), jnp.asarray(lens),
+                  jnp.asarray(seg_blocks), jnp.asarray(inv_perm))
+
+    def _device_e2e_flat_jit(self, L: int, M: int):
+        return self._cached_jit(("e2e_flat", L, M),
+                                self._build_device_e2e_flat_jit, L)
+
+    def _build_device_e2e_flat_jit(self, L: int):
+        n_blocks = self.n_blocks
+        entropy_fn = self._entropy_graph()
+
+        def run(flat, starts, lens, seg_blocks, inv_perm):
+            segbytes = self._gather_lanes(flat, starts, lens, L)
+            coefs3 = entropy_fn(segbytes, seg_blocks)
+            coefs3 = jnp.take(coefs3, inv_perm, axis=0)
+            return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
+
+        return jax.jit(run)
 
     def decode_device(self, entropy_data: bytes) -> Frame:
         return self._to_frame(self.decode_device_e2e(entropy_data))
@@ -511,6 +579,15 @@ class JpegDecoderSession:
             def decode_fn(segbytes, seg_blocks, comp_sched, *luts,
                           blocks_per_segment):
                 S, L = segbytes.shape
+                # lanes-major kernel first (~6x the sublane-major one:
+                # BENCH_NOTES round 3), then the sublane-major form, then
+                # the XLA while_loop
+                lanes = pallas_decode.max_lanes_t(L, blocks_per_segment)
+                if self._pallas_eligible(lanes, S):
+                    return pallas_decode.decode_segments_pallas_t(
+                        segbytes, seg_blocks, comp_sched, *luts,
+                        blocks_per_segment=blocks_per_segment,
+                        n_components=n_comp, lanes=min(lanes, 512))
                 ch = pallas_decode.max_lane_chunk(L, blocks_per_segment)
                 if self._pallas_eligible(ch, S):
                     return pallas_decode.decode_segments_pallas(
@@ -527,6 +604,15 @@ class JpegDecoderSession:
                                  tpu_decode.range_tables(self.tables)))
             decode_fn = functools.partial(
                 pallas_decode.decode_segments_pallas,
+                n_components=len(self.components),
+                interpret=jax.default_backend() == "cpu")
+        elif self.device_huffman == "pallas_t":
+            from ..entropy import pallas_decode
+
+            lut_args = tuple(map(jnp.asarray,
+                                 tpu_decode.range_tables(self.tables)))
+            decode_fn = functools.partial(
+                pallas_decode.decode_segments_pallas_t,
                 n_components=len(self.components),
                 interpret=jax.default_backend() == "cpu")
         elif self.device_huffman == "range":
@@ -603,6 +689,8 @@ class JpegDecoderSession:
         F = len(entropy_list)
         B = self.blocks_per_segment
         n_seg = (self.n_blocks + B - 1) // B
+        if self.mesh is None:
+            return self._decode_device_batch_flat(entropy_list, F, n_seg)
         all_segments = []
         for e in entropy_list:
             segs = entropy_scan.destuff_segments(e)
@@ -631,6 +719,49 @@ class JpegDecoderSession:
         return fn(_global_input(segbytes, self.mesh, P(axes, None)),
                   _global_input(seg_blocks, self.mesh, P(axes)),
                   _global_input(inv_perm, self.mesh, P()))
+
+    def _decode_device_batch_flat(self, entropy_list: list[bytes],
+                                  F: int, n_seg: int):
+        """Batched flat-upload fused decode (single device): one flat
+        destuffed buffer + one lane pool for all frames' segments."""
+        parts, lens_parts = [], []
+        for e in entropy_list:
+            flat, lens64 = entropy_scan.destuff_flat(e)
+            if len(lens64) != n_seg:
+                raise DecodeError("restart segment count mismatch")
+            parts.append(flat)
+            lens_parts.append(lens64)
+        flat = (np.concatenate(parts) if len(parts) > 1 else parts[0])
+        lens64 = np.concatenate(lens_parts)
+        B = self.blocks_per_segment
+        seg_blocks = np.full(n_seg, B, dtype=np.int32)
+        if self.n_blocks % B:
+            seg_blocks[-1] = self.n_blocks % B
+        seg_blocks = np.tile(seg_blocks, F)
+        flat_p, starts, lens, seg_blocks, inv_perm, L, M = \
+            self._flat_lane_inputs(flat, lens64, seg_blocks)
+        fn = self._device_e2e_batch_flat_jit(F, L, M)
+        return fn(flat_p, jnp.asarray(starts), jnp.asarray(lens),
+                  jnp.asarray(seg_blocks), jnp.asarray(inv_perm))
+
+    def _device_e2e_batch_flat_jit(self, F: int, L: int, M: int):
+        return self._cached_jit(("e2e_batch_flat", F, L, M),
+                                self._build_device_e2e_batch_flat_jit, F, L)
+
+    def _build_device_e2e_batch_flat_jit(self, F: int, L: int):
+        B = self.blocks_per_segment
+        n_blocks = self.n_blocks
+        n_seg = (n_blocks + B - 1) // B
+        entropy_fn = self._entropy_graph()
+
+        def run(flat, starts, lens, seg_blocks, inv_perm):
+            segbytes = self._gather_lanes(flat, starts, lens, L)
+            coefs3 = entropy_fn(segbytes, seg_blocks)
+            coefs3 = jnp.take(coefs3, inv_perm, axis=0)
+            coefs = coefs3.reshape(F, n_seg * B, 64)[:, :n_blocks, :]
+            return self._decode_tail_batch(coefs.reshape(-1, 64), F)
+
+        return jax.jit(run)
 
     def _device_e2e_batch_jit(self, F: int, L: int):
         return self._cached_jit(("e2e_batch", F, L),
@@ -1416,7 +1547,10 @@ class JpegTranscodeSession:
             vs = [c.vertical_sampling_factor for c in frame_hdr.components]
             if hs == [2, 1, 1] and vs == [2, 1, 1]:
                 maker = Parameters.c420
-            elif hs == [2, 1, 1] and vs == [1, 1, 1]:
+            elif hs == [2, 1, 1] and vs in ([2, 2, 2], [1, 1, 1]):
+                # our encoder's 4:2:2 preset is 2x2/1x2/1x2 (like the
+                # reference's, encoder.ml:287-369); foreign streams often
+                # use 2x1/1x1/1x1 — same chroma dims, different MCU height
                 maker = Parameters.c422
             else:
                 maker = Parameters.c444
