@@ -536,6 +536,265 @@ def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
     return out[:, :S].T.reshape(S, B, 64)
 
 
+# ---------------------------------------------------------------------------
+# Block-synchronized lanes-major kernel (long segments / streamed output)
+#
+# The lanes-major kernel above carries the whole (B·64, LANES) coefficient
+# block in the while-loop state — impossible for long segments (ri=row ⇒
+# B≈720 ⇒ 23 MB of carry). This variant processes ONE block index at a
+# time across all lanes (the schedule is identical per lane, so the
+# component, table rows and ZRL/EOB context of the current block are
+# scalars), with three consequences:
+#   * the coefficient carry shrinks to one (64, LANES) block buffer;
+#   * finished blocks stream to the output ref through a (WIN·64, LANES)
+#     window slab — the out BlockSpec walks block windows on a second
+#     grid axis while per-lane cursor state (bitpos, dc_pred) persists in
+#     VMEM scratch across window steps (TPU grids run sequentially);
+#   * the per-symbol scatter one-hot is 64 rows instead of B·64.
+# The price is block-granularity synchronization: every lane waits for
+# the chunk's slowest lane each block. Length-sorted lane packing (the
+# engine's load balancing) keeps that small.
+#
+# This is the streamed long-segment decode VERDICT r2 item 5 calls for —
+# the analog of the RTL reader's refill-as-you-go window + per-block
+# start/done handshake (bitstream_reader.ml:36-57,
+# scan_controller.ml:331-433): only the byte windows stay whole-segment
+# resident (~L/2 int32 per lane), coefficients never do.
+# ---------------------------------------------------------------------------
+
+BS_LANES = 128
+BS_WIN = 16  # blocks per output window
+
+
+def max_win_bs(L: int) -> int:
+    """Window size (blocks) for the block-synchronized kernel, or 0 when
+    even the byte windows don't fit VMEM at BS_LANES lanes."""
+    NW = max((L - 2) // 2, 1)
+    NWp = -(-NW // 8) * 8
+    words_bytes = 4 * NWp * BS_LANES
+    win_bytes = 4 * BS_WIN * 64 * BS_LANES * 2
+    if words_bytes + win_bytes > _VMEM_BUDGET:
+        return 0
+    return BS_WIN
+
+
+def _kernel_bs(words_ref, segblk_ref, lo_ref, hi_ref, off_ref, values_ref,
+               out_ref, bitpos_ref, dc_ref, *, blocks: int, win: int,
+               n_components: int, n_tables: int, comp_sched: tuple,
+               syms_per_iter: int):
+    NW = words_ref.shape[0]
+    LANES = words_ref.shape[1]
+    C = n_components
+    V4 = values_ref.shape[0]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        bitpos_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        dc_ref[:] = jnp.zeros((C, LANES), jnp.int32)
+
+    words = words_ref[:]
+    seg_blocks = segblk_ref[:]
+    values = values_ref[:]
+    nw_rows = jax.lax.broadcasted_iota(jnp.int32, (NW, LANES), 0)
+    v_rows = jax.lax.broadcasted_iota(jnp.int32, (V4, LANES), 0)
+    buf_rows = jax.lax.broadcasted_iota(jnp.int32, (64, LANES), 0)
+    c_rows = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 0)
+    lens16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0) + 1
+
+    def peek(bitpos):
+        wp = jnp.clip(bitpos >> 4, 0, NW - 1)
+        w32 = jnp.sum(jnp.where(nw_rows == wp, words, 0), axis=0,
+                      keepdims=True)
+        sh = bitpos & 15
+        return jax.lax.shift_right_logical(w32, 16 - sh) & 0xFFFF
+
+    def lookup2(t_dc, t_ac, in_ac, w16):
+        """Range decode against the two static table rows of this block's
+        component (DC vs AC selected per lane by phase)."""
+        lo_t = jnp.where(in_ac, lo_ref[:, t_ac:t_ac + 1],
+                         lo_ref[:, t_dc:t_dc + 1])
+        hi_t = jnp.where(in_ac, hi_ref[:, t_ac:t_ac + 1],
+                         hi_ref[:, t_dc:t_dc + 1])
+        off_t = jnp.where(in_ac, off_ref[:, t_ac:t_ac + 1],
+                          off_ref[:, t_dc:t_dc + 1])
+        valid = (w16 >= lo_t) & (w16 < hi_t)
+        code_len = jnp.sum(jnp.where(valid, lens16, 0), axis=0,
+                           keepdims=True)
+        lo_sel = jnp.sum(jnp.where(valid, lo_t, 0), axis=0, keepdims=True)
+        off_sel = jnp.sum(jnp.where(valid, off_t, 0), axis=0,
+                          keepdims=True)
+        shift = 16 - jnp.maximum(code_len, 1)
+        flat_idx = jnp.clip(off_sel + ((w16 - lo_sel) >> shift), 0,
+                            V4 * 4 - 1)
+        word = jnp.sum(jnp.where(v_rows == flat_idx >> 2, values, 0),
+                       axis=0, keepdims=True)
+        data = jax.lax.shift_right_logical(
+            word, (flat_idx & 3) * 8) & 0xFF
+        return code_len, jnp.where(code_len > 0, data, 0)
+
+    def magnitude(cat, code):
+        neg = (code & (1 << jnp.maximum(cat - 1, 0))) == 0
+        val = jnp.where(neg & (cat > 0), code - (1 << cat) + 1, code)
+        return jnp.where(cat == 0, 0, val)
+
+    bitpos = bitpos_ref[:]
+    dc_pred = dc_ref[:]
+
+    for bw in range(win):
+        blk = j * win + bw
+        # the schedule is periodic with the MCU and win is a multiple of
+        # the MCU length, so the block's component is a compile-time
+        # scalar even though the window index j is a grid value
+        comp = int(comp_sched[bw % len(comp_sched)])
+        t_dc, t_ac = comp, comp + C
+
+        def step_once(bitpos, cof, in_ac_c, done_c, dc_pred, buf,
+                      t_dc=t_dc, t_ac=t_ac, comp=comp, blk=blk):
+            in_ac = in_ac_c != 0
+            live = (done_c == 0) & (blk < seg_blocks)
+            w16 = peek(bitpos)
+            code_len, data = lookup2(t_dc, t_ac, in_ac, w16)
+            run = jnp.where(in_ac, (data >> 4) & 0xF, 0)
+            cat = jnp.where(in_ac, data & 0xF, data)
+            magpos = bitpos + code_len
+            wmag = peek(magpos)
+            mag_code = jnp.where(
+                cat > 0, wmag >> (PEEK_BITS - jnp.maximum(cat, 1)), 0)
+            val = magnitude(cat, mag_code)
+            new_bitpos = magpos + cat
+
+            # DC phase
+            is_comp = c_rows == comp
+            new_dc = jnp.where(is_comp & (~in_ac & live), dc_pred + val,
+                               dc_pred)
+            dc_val = jnp.sum(jnp.where(is_comp, new_dc, 0), axis=0,
+                             keepdims=True)
+
+            # AC phase
+            is_eob = in_ac & (run == 0) & (cat == 0)
+            new_cof_ac = cof + run
+            write_ac = in_ac & ~is_eob & live & (new_cof_ac < 64)
+            write_dc = ~in_ac & live
+            do_write = write_dc | write_ac
+            write_cof = jnp.where(write_dc, 0,
+                                  jnp.clip(new_cof_ac, 0, 63))
+            write_val = jnp.where(write_dc, dc_val, val)
+            buf = jnp.where((buf_rows == write_cof) & do_write,
+                            write_val, buf)
+
+            cof_after = jnp.where(in_ac,
+                                  jnp.where(is_eob, 64, new_cof_ac + 1),
+                                  1)
+            block_done = in_ac & (is_eob | (cof_after >= 64))
+            new_done = jnp.where(block_done & live, 1, done_c)
+            new_in_ac = jnp.where(block_done, 0,
+                                  jnp.where(~in_ac, 1, in_ac_c))
+            new_cof = jnp.where(block_done, 0, cof_after)
+            bitpos = jnp.where(live, new_bitpos, bitpos)
+            return (bitpos, new_cof, new_in_ac, new_done, new_dc, buf)
+
+        def body(state, step_once=step_once):
+            it, *rest = state
+            for _ in range(syms_per_iter):
+                rest = step_once(*rest)
+            return (it + 1, *rest)
+
+        def cond(state, blk=blk):
+            it, _bitpos, _cof, _in_ac, done, _dc, _buf = state
+            live = (done == 0) & (blk < seg_blocks)
+            return jnp.any(live) & (it < (66 + 64) // syms_per_iter + 2)
+
+        zl = jnp.zeros((1, LANES), jnp.int32)
+        init = (jnp.zeros((), jnp.int32), bitpos, zl, zl, zl, dc_pred,
+                jnp.zeros((64, LANES), jnp.int32))
+        final = jax.lax.while_loop(cond, body, init)
+        bitpos, dc_pred = final[1], final[5]
+        out_ref[bw * 64:(bw + 1) * 64, :] = final[6]
+
+    bitpos_ref[:] = bitpos
+    dc_ref[:] = dc_pred
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blocks_per_segment", "n_components", "comp_sched_t",
+                     "win", "syms_per_iter", "interpret"))
+def decode_segments_pallas_bs(segbytes: jax.Array, seg_blocks: jax.Array,
+                              lo: jax.Array, hi: jax.Array,
+                              offset: jax.Array, values: jax.Array, *,
+                              blocks_per_segment: int, n_components: int,
+                              comp_sched_t: tuple, win: int = BS_WIN,
+                              syms_per_iter: int = 2,
+                              interpret: bool = False) -> jax.Array:
+    """Block-synchronized streamed decode for long segments. Same result
+    contract as decode_segments_pallas_t; the component schedule must be
+    static (a tuple) because each block's tables are baked per step.
+    ``win`` is a hint — the effective window is the smallest multiple of
+    the schedule's MCU period ≥ win (so each in-window block's component
+    is compile-time static regardless of the window index)."""
+    S, L = segbytes.shape
+    B = blocks_per_segment
+    T = lo.shape[0]
+    assert len(comp_sched_t) == B
+    period = next(p for p in range(1, B + 1)
+                  if B % p == 0
+                  and comp_sched_t == comp_sched_t[:p] * (B // p))
+    win = min(-(-win // period) * period, B)
+    comp_sched_t = comp_sched_t[:period] * (win // period)
+    NW = max((L - 2) // 2, 1)
+    segu = segbytes.astype(jnp.uint32)
+    s0 = segu[:, 0:2 * NW - 1:2]
+    s1 = segu[:, 1:2 * NW:2]
+    s2 = segu[:, 2:2 * NW + 1:2]
+    s3 = segu[:, 3:2 * NW + 2:2]
+    words = jax.lax.bitcast_convert_type(
+        (s0 << 24) | (s1 << 16) | (s2 << 8) | s3, jnp.int32).T
+    LANES = BS_LANES
+    Sp = -(-S // LANES) * LANES
+    NWp = -(-NW // 8) * 8
+    words = jnp.pad(words, ((0, NWp - NW), (0, Sp - S)))
+    segb = jnp.pad(seg_blocks.astype(jnp.int32), (0, Sp - S))[None, :]
+    Bp = -(-B // win) * win
+    vals = values.astype(jnp.int32).reshape(-1, 4)
+    packed = (vals[:, 0] | (vals[:, 1] << 8) | (vals[:, 2] << 16)
+              | (vals[:, 3] << 24))
+    V4 = packed.shape[0]
+    V4p = -(-V4 // 8) * 8
+    packed = jnp.pad(packed, (0, V4p - V4))[:, None]
+
+    grid = (Sp // LANES, Bp // win)
+    kern = functools.partial(
+        _kernel_bs, blocks=B, win=win, n_components=n_components,
+        n_tables=T, comp_sched=comp_sched_t, syms_per_iter=syms_per_iter)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NWp, LANES), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V4p, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((win * 64, LANES), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp * 64, Sp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32),
+                        pltpu.VMEM((n_components, LANES), jnp.int32)],
+        interpret=interpret,
+    )(words, segb, lo.astype(jnp.int32).T, hi.astype(jnp.int32).T,
+      offset.astype(jnp.int32).T, packed)
+    return out[:B * 64, :S].T.reshape(S, B, 64)
+
+
 def decode_scan_pallas(segments: list[bytes], comp_idx: np.ndarray,
                        blocks_per_segment: int, tables,
                        gather_impl: str = "onehot",
@@ -564,6 +823,13 @@ def decode_scan_pallas(segments: list[bytes], comp_idx: np.ndarray,
         out = decode_segments_pallas_t(
             *args, blocks_per_segment=blocks_per_segment,
             n_components=n_components, interpret=interpret)
+    elif layout == "bs":
+        out = decode_segments_pallas_bs(
+            args[0], args[1], *args[3:],
+            blocks_per_segment=blocks_per_segment,
+            n_components=n_components,
+            comp_sched_t=tuple(int(x) for x in comp_sched),
+            win=min(BS_WIN, blocks_per_segment), interpret=interpret)
     else:
         out = decode_segments_pallas(
             *args, blocks_per_segment=blocks_per_segment,

@@ -580,14 +580,28 @@ class JpegDecoderSession:
                           blocks_per_segment):
                 S, L = segbytes.shape
                 # lanes-major kernel first (~6x the sublane-major one:
-                # BENCH_NOTES round 3), then the sublane-major form, then
-                # the XLA while_loop
+                # BENCH_NOTES round 3); long segments whose coefficient
+                # carry would blow VMEM stream through the
+                # block-synchronized kernel; then the sublane-major form;
+                # then the XLA while_loop
                 lanes = pallas_decode.max_lanes_t(L, blocks_per_segment)
                 if self._pallas_eligible(lanes, S):
                     return pallas_decode.decode_segments_pallas_t(
                         segbytes, seg_blocks, comp_sched, *luts,
                         blocks_per_segment=blocks_per_segment,
                         n_components=n_comp, lanes=min(lanes, 512))
+                win = pallas_decode.max_win_bs(L)
+                if (lanes == 0 and win
+                        and self._pallas_eligible(pallas_decode.BS_LANES,
+                                                  S)):
+                    return pallas_decode.decode_segments_pallas_bs(
+                        segbytes, seg_blocks, *luts,
+                        blocks_per_segment=blocks_per_segment,
+                        n_components=n_comp,
+                        comp_sched_t=tuple(
+                            int(x)
+                            for x in self.comp_idx[:blocks_per_segment]),
+                        win=win)
                 ch = pallas_decode.max_lane_chunk(L, blocks_per_segment)
                 if self._pallas_eligible(ch, S):
                     return pallas_decode.decode_segments_pallas(
