@@ -368,6 +368,72 @@ int64_t vct_decode_blocks_resync(
   return n_damaged.load();
 }
 
+// Index a single entropy segment (typically a foreign, restart-free
+// stream) for parallel decode: walk the symbol stream WITHOUT writing
+// coefficients, recording at every `stride`-block boundary the absolute
+// bit position and the running DC predictors. The records turn one
+// serial segment into ceil(n_blocks/stride) independent "virtual
+// segments" — each device lane starts at its recorded bit offset with
+// its recorded predictors and decodes bit-exactly (the deterministic
+// form of speculative intra-segment parallel decode; the index pass
+// skips the coefficient writes, so it is cheaper than a full decode).
+// Returns 0 or -(failing_block+1).
+int64_t vct_index_scan(
+    const uint8_t* data, int64_t data_len,
+    const int32_t* comp_idx, int64_t n_blocks,
+    int32_t n_components,
+    const int32_t* dc_maxbits, const int32_t* dc_lut,
+    const int64_t* dc_lut_off,
+    const int32_t* ac_maxbits, const int32_t* ac_lut,
+    const int64_t* ac_lut_off,
+    int64_t stride,
+    int64_t* bit_offsets,      // [ceil(n_blocks/stride)]
+    int32_t* dc_preds) {       // [ceil(n_blocks/stride) * 8]
+  if (n_components > 8) return -1000000000;
+  std::vector<CompLut> luts(n_components);
+  for (int c = 0; c < n_components; ++c) {
+    luts[c].dc = dc_lut + dc_lut_off[c];
+    luts[c].dc_maxbits = dc_maxbits[c];
+    luts[c].ac = ac_lut + ac_lut_off[c];
+    luts[c].ac_maxbits = ac_maxbits[c];
+  }
+  BitReader br(data, data_len);
+  int32_t dc_pred[8] = {0};
+  int64_t rec = 0;
+  for (int64_t blk = 0; blk < n_blocks; ++blk) {
+    if (blk % stride == 0) {
+      bit_offsets[rec] = br.bytepos * 8 - br.cnt;  // consumed bits
+      for (int c = 0; c < 8; ++c) dc_preds[rec * 8 + c] = dc_pred[c];
+      ++rec;
+    }
+    int c = comp_idx[blk];
+    if (c < 0 || c >= n_components) return -(blk + 1);
+    const CompLut& lut = luts[c];
+    int32_t e = lut.dc[br.peek(lut.dc_maxbits)];
+    int len = e >> 16;
+    if (len == 0) return -(blk + 1);
+    br.consume(len);
+    int cat = e & 0xffff;
+    if (cat > 15) return -(blk + 1);
+    dc_pred[c] += magnitude(cat, br.get(cat));
+    int cof = 1;
+    while (cof < 64) {
+      e = lut.ac[br.peek(lut.ac_maxbits)];
+      len = e >> 16;
+      if (len == 0) return -(blk + 1);
+      br.consume(len);
+      int run = (e >> 4) & 0xf;
+      int size = e & 0xf;
+      uint32_t code = br.get(size);
+      if (size == 0 && run == 0) break;  // EOB
+      (void)code;
+      cof += run + 1;
+      if (cof > 64) return -(blk + 1);
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 namespace {
@@ -521,6 +587,6 @@ int64_t vct_destuff_segments(
                                 max_segments);
 }
 
-int32_t vct_version() { return 5; }
+int32_t vct_version() { return 6; }
 
 }  // extern "C"

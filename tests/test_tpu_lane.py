@@ -198,3 +198,28 @@ def test_pallas_packer_on_chip(small_stream):
     enc = JpegEncoderSession(params, restart_interval=1,
                              device_pack="pallas")
     assert enc.encode_device(frame) == stream
+
+
+def test_indexed_foreign_stream_on_chip():
+    """Mouse480 — a real camera JPEG with no restart markers — decodes
+    through the indexed parallel device path bit-exactly on chip
+    (entropy/scan.py index_scan + per-lane init state in the
+    lanes-major kernel)."""
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.entropy import native as entropy_native
+    from video_coding_tpu.model import decoder as mdec
+    from video_coding_tpu.runtime.engine import JpegDecoderSession
+
+    if entropy_native.load() is None:
+        pytest.skip("native engine unavailable")
+    data = open("/root/reference/jpeg/test_data/Mouse480.jpg", "rb").read()
+    golden = mdec.decode_a_frame(data)
+    bits = BitReader(data)
+    header = mdec.Header.decode(bits)
+    sess = JpegDecoderSession(header)
+    assert not sess.device_entropy_parallel
+    assert sess.n_blocks >= 8 * sess._index_stride()
+    got = sess.decode_device(data[bits.bit_pos >> 3:])
+    for p in "yuv":
+        assert np.array_equal(getattr(got, p).data,
+                              getattr(golden, p).data)

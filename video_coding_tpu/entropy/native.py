@@ -19,7 +19,7 @@ _NATIVE_DIR = os.path.join(
 _SO_PATH = os.path.join(_NATIVE_DIR, "libvctentropy.so")
 
 # Must match native/entropy.cpp vct_version() — bump both together.
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 _lib = None
 
@@ -108,6 +108,15 @@ def load():
 
     lib.vct_assemble_stream.restype = i64
     lib.vct_assemble_stream.argtypes = [p_u8, i64, p_i64, i64, p_u8]
+
+    lib.vct_index_scan.restype = i64
+    lib.vct_index_scan.argtypes = [
+        p_u8, i64,                 # data, data_len
+        p_i32, i64, i32,           # comp_idx, n_blocks, n_comp
+        p_i32, p_i32, p_i64,       # dc maxbits, lut, offsets
+        p_i32, p_i32, p_i64,       # ac maxbits, lut, offsets
+        i64, p_i64, p_i32,         # stride, bit_offsets, dc_preds
+    ]
 
     lib.vct_destuff_segments.restype = i64
     lib.vct_destuff_segments.argtypes = [p_u8, i64, p_u8, p_i64, i64]

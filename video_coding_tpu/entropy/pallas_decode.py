@@ -324,8 +324,9 @@ def max_lanes_t(L: int, blocks_per_segment: int) -> int:
 
 
 def _kernel_t(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
-              values_ref, out_ref, *, blocks: int, n_components: int,
-              n_tables: int, max_iters: int, syms_per_iter: int):
+              values_ref, bp0_ref, dc0_ref, out_ref, *, blocks: int,
+              n_components: int, n_tables: int, max_iters: int,
+              syms_per_iter: int):
     NW = words_ref.shape[0]
     LANES = words_ref.shape[1]
     B = blocks
@@ -448,11 +449,11 @@ def _kernel_t(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
     zl = jnp.zeros((1, LANES), jnp.int32)
     init = (
         jnp.zeros((), jnp.int32),
-        zl,                                    # bitpos
+        bp0_ref[:],                            # bitpos (per-lane init)
         zl,                                    # blk
         zl,                                    # cof
         zl,                                    # in_ac (0/1 int32)
-        jnp.zeros((C, LANES), jnp.int32),      # dc_pred
+        dc0_ref[:],                            # dc_pred (per-lane init)
         jnp.zeros((W64, LANES), jnp.int32),    # coefs
     )
     final = jax.lax.while_loop(cond, body, init)
@@ -469,10 +470,18 @@ def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
                              values: jax.Array, *,
                              blocks_per_segment: int, n_components: int,
                              lanes: int = 512, syms_per_iter: int = 2,
+                             init_bitpos: jax.Array | None = None,
+                             init_dc: jax.Array | None = None,
                              interpret: bool = False) -> jax.Array:
     """Lanes-major variant of decode_segments_pallas: same arguments and
     bit-identical result, with segments on the TPU lane axis so the
-    per-symbol one-hot reductions run across sublanes."""
+    per-symbol one-hot reductions run across sublanes.
+
+    init_bitpos (S,) / init_dc (S, n_components) optionally start each
+    lane at a bit offset into its window with non-zero DC predictors —
+    the hooks the indexed foreign-stream decode uses to run virtual
+    segments of one restart-free scan in parallel (entropy/scan.py
+    index_scan)."""
     S, L = segbytes.shape
     B = blocks_per_segment
     T = lo.shape[0]
@@ -491,6 +500,12 @@ def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
     NWp = -(-NW // 8) * 8
     words = jnp.pad(words, ((0, NWp - NW), (0, Sp - S)))
     segb = jnp.pad(seg_blocks.astype(jnp.int32), (0, Sp - S))[None, :]
+    if init_bitpos is None:
+        init_bitpos = jnp.zeros(S, jnp.int32)
+    if init_dc is None:
+        init_dc = jnp.zeros((S, n_components), jnp.int32)
+    bp0 = jnp.pad(init_bitpos.astype(jnp.int32), (0, Sp - S))[None, :]
+    dc0 = jnp.pad(init_dc.astype(jnp.int32), ((0, Sp - S), (0, 0))).T
     Bp = -(-B // 8) * 8
     sched = jnp.pad(comp_sched.astype(jnp.int32), (0, Bp - B))[:, None]
     # pack the flat values (uint8 entries) 4 per int32, little-endian
@@ -527,12 +542,16 @@ def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((V4p, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_components, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B * 64, LANES), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * 64, Sp), jnp.int32),
         interpret=interpret,
-    )(words, segb, sched, lo_t, hi_t, off_t, packed)
+    )(words, segb, sched, lo_t, hi_t, off_t, packed, bp0, dc0)
     return out[:, :S].T.reshape(S, B, 64)
 
 

@@ -93,6 +93,39 @@ def destuff_flat(data: bytes, use_native: bool | None = None
     return flat, np.array([len(s) for s in segments], dtype=np.int64)
 
 
+def index_scan(flat: np.ndarray, comp_idx: np.ndarray, stride: int,
+               tables: DecoderTables
+               ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Index ONE destuffed entropy segment for parallel decode: walk the
+    symbol stream (no coefficient writes) recording, at every
+    ``stride``-block boundary, the absolute bit position and the running
+    DC predictors. The records turn a foreign restart-free stream into
+    ceil(n_blocks/stride) independent virtual segments, each decodable
+    bit-exactly on its own device lane — the deterministic alternative
+    to speculative intra-segment decode (VERDICT r2 item 9).
+
+    Returns (bit_offsets (R,) int64, dc_preds (R, 8) int32), or None
+    when the native engine is unavailable (callers fall back to the
+    serial single-lane route)."""
+    lib = native.load()
+    if lib is None or not hasattr(lib, "vct_index_scan"):
+        return None
+    n_blocks = len(comp_idx)
+    comp_idx = np.ascontiguousarray(comp_idx, dtype=np.int32)
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    R = (n_blocks + stride - 1) // stride
+    bit_offsets = np.zeros(R, dtype=np.int64)
+    dc_preds = np.zeros((R, 8), dtype=np.int32)
+    rc = lib.vct_index_scan(
+        flat, len(flat), comp_idx, n_blocks, len(tables.dc_maxbits),
+        tables.dc_maxbits, tables.dc_lut, tables.dc_off,
+        tables.ac_maxbits, tables.ac_lut, tables.ac_off,
+        stride, bit_offsets, dc_preds.reshape(-1))
+    if rc != 0:
+        raise ValueError(f"index scan failed at block {-rc - 1}")
+    return bit_offsets, dc_preds
+
+
 def destuff_and_decode_scan(data: bytes, comp_idx: np.ndarray,
                             blocks_per_segment: int, tables: DecoderTables,
                             n_threads: int | None = None) -> np.ndarray:

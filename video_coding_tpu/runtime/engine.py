@@ -255,6 +255,7 @@ class JpegDecoderSession:
         mcu_size = sum(c.component.horizontal_sampling_factor
                        * c.component.vertical_sampling_factor
                        for c in self.components)
+        self.mcu_size = mcu_size
         self.restart_interval = probe.restart_interval
         self.blocks_per_segment = (
             self.restart_interval * mcu_size if self.restart_interval
@@ -297,6 +298,15 @@ class JpegDecoderSession:
 
     def _check_device_entropy_route(self) -> None:
         if self.device_entropy_parallel or self._warned_serial_entropy:
+            return
+        from ..entropy import native as entropy_native
+
+        lib = entropy_native.load()
+        if (self.mesh is None and lib is not None
+                and hasattr(lib, "vct_index_scan")
+                and self.n_blocks >= 8 * self._index_stride()):
+            # foreign streams go wide via the indexed parallel decode —
+            # nothing serial to warn about
             return
         self._warned_serial_entropy = True
         import logging
@@ -511,12 +521,91 @@ class JpegDecoderSession:
         the padded-matrix transfer (measured 11.5 + 43 ms/frame at 1080p
         ri=1 through this container's tunnel — BENCH_NOTES round 3)."""
         flat, lens64 = entropy_scan.destuff_flat(entropy_data)
+        if (len(lens64) == 1
+                and self.n_blocks >= 8 * self._index_stride()):
+            out = self._decode_device_e2e_indexed(flat)
+            if out is not None:
+                return out
         seg_blocks = self._expected_seg_blocks(len(lens64))
         flat_p, starts, lens, seg_blocks, inv_perm, L, M = \
             self._flat_lane_inputs(flat, lens64, seg_blocks)
         fn = self._device_e2e_flat_jit(L, M)
         return fn(flat_p, jnp.asarray(starts), jnp.asarray(lens),
                   jnp.asarray(seg_blocks), jnp.asarray(inv_perm))
+
+    # -- indexed parallel decode of single-segment (foreign) streams ------
+    def _index_stride(self) -> int:
+        """Virtual blocks per lane for the indexed foreign-stream decode:
+        a multiple of the MCU (so every virtual segment shares the block
+        schedule) near 24 blocks."""
+        return self.mcu_size * max(1, -(-24 // self.mcu_size))
+
+    def _decode_device_e2e_indexed(self, flat: np.ndarray):
+        """Parallel device decode of a restart-free stream: a native
+        index scan (entropy/scan.py index_scan) records bit offsets + DC
+        predictors every stride blocks — no coefficient work — and each
+        device lane then decodes its virtual segment from that state,
+        bit-exactly. The deterministic realization of intra-segment
+        parallel decode (VERDICT r2 item 9): the serial pass is a cheap
+        symbol walk; all coefficient decode runs wide on device lanes.
+        Returns decoded planes, or None when the native engine is
+        unavailable (caller falls back to the serial single-lane route).
+        """
+        stride = self._index_stride()
+        idx = entropy_scan.index_scan(flat, self.comp_idx, stride,
+                                      self.tables)
+        if idx is None:
+            return None
+        bit_offsets, dc_preds = idx
+        R = len(bit_offsets)
+        starts64 = bit_offsets >> 3
+        bp0 = (bit_offsets - 8 * starts64).astype(np.int32)
+        ends = np.empty(R, np.int64)
+        ends[:-1] = (bit_offsets[1:] + 7) >> 3
+        ends[-1] = len(flat)
+        lens64 = ends - starts64
+        seg_blocks = np.full(R, stride, dtype=np.int32)
+        if self.n_blocks % stride:
+            seg_blocks[-1] = self.n_blocks % stride
+        dc0 = dc_preds[:, :len(self.components)].astype(np.int32)
+        # load-balance lanes by window length (as _flat_lane_inputs)
+        order = np.argsort(-lens64, kind="stable")
+        inv_perm = np.empty(R, np.int32)
+        inv_perm[order] = np.arange(R, dtype=np.int32)
+        starts = starts64.astype(np.int32)[order]
+        lens = lens64.astype(np.int32)[order]
+        bp0, dc0, seg_blocks = bp0[order], dc0[order], seg_blocks[order]
+        L = 1 << max(6, int(int(lens.max()) + 4 - 1).bit_length())
+        M = 1 << max(12, (len(flat) + 8 - 1).bit_length())
+        flat_p = np.zeros(M, np.uint8)
+        flat_p[:len(flat)] = flat
+        fn = self._cached_jit(("e2e_indexed", L, M, stride),
+                              self._build_device_e2e_indexed_jit, L,
+                              stride)
+        return fn(flat_p, jnp.asarray(starts), jnp.asarray(lens),
+                  jnp.asarray(seg_blocks), jnp.asarray(bp0),
+                  jnp.asarray(dc0), jnp.asarray(inv_perm))
+
+    def _build_device_e2e_indexed_jit(self, L: int, stride: int):
+        from ..entropy import pallas_decode, tpu_decode
+
+        lut_args = tuple(map(jnp.asarray,
+                             tpu_decode.range_tables(self.tables)))
+        n_comp = len(self.components)
+        comp_sched = jnp.asarray(self.comp_idx[:stride])
+        n_blocks = self.n_blocks
+
+        def run(flat, starts, lens, seg_blocks, bp0, dc0, inv_perm):
+            segbytes = self._gather_lanes(flat, starts, lens, L)
+            coefs3 = pallas_decode.decode_segments_pallas_t(
+                segbytes, seg_blocks, comp_sched, *lut_args,
+                blocks_per_segment=stride, n_components=n_comp,
+                init_bitpos=bp0, init_dc=dc0,
+                interpret=jax.default_backend() == "cpu")
+            coefs3 = jnp.take(coefs3, inv_perm, axis=0)
+            return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
+
+        return jax.jit(run)
 
     def _device_e2e_flat_jit(self, L: int, M: int):
         return self._cached_jit(("e2e_flat", L, M),
