@@ -72,13 +72,13 @@ def max_lane_chunk(blocks_per_segment: int, max_seg_bytes: int) -> int:
 
     B = blocks_per_segment
     m_out = max_seg_bytes + max_seg_bytes // 4 + 8
-    W = -(-m_out // 8) * 8
+    W4 = -(-m_out // 32) * 8   # word-packed output rows
     if B <= FUSED_MAX_BLOCKS:
-        per_lane = 4 * (B * 64 + B + 3 * W)
+        per_lane = 4 * (B * 64 + B + 3 * W4)
     else:
         K = B * SLOTS_PER_BLOCK + 1
         Kp = -(-K // 8) * 8
-        per_lane = 4 * (3 * Kp + 3 * W)
+        per_lane = 4 * (3 * Kp + 3 * W4)
     ch = _VMEM_BUDGET // per_lane
     if ch < 8:
         return 0
@@ -119,7 +119,12 @@ def _shift_in64(acc_hi, acc_lo, nbits, val, ln):
 def _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows):
     """Emit complete bytes at each lane's output cursor while any lane
     holds ≥ 8 pending bits; 0xFF00 stuffing is a cursor skip (the
-    stuffed 0x00 is the untouched zero-initialized slot)."""
+    stuffed 0x00 is the untouched zero-initialized slot).
+
+    The output grid is WORD-PACKED — (W/4, CHUNK) int32, 4 bytes per
+    row — so each emit's one-hot write touches a quarter of the rows a
+    byte grid would (each byte slot is written at most once, so the
+    or-insert composes exactly); `pos` stays a byte cursor."""
     def emit_cond(st):
         nbits = st[0]
         return jnp.any(nbits >= 8)
@@ -128,12 +133,21 @@ def _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows):
         nbits, pos, out = st
         can = nbits >= 8
         byte = _extract_byte_i32(acc_hi, acc_lo, nbits - 8)
-        out = jnp.where((out_rows == pos) & can, byte, out)
+        ins = jax.lax.shift_left(byte, (pos & 3) * 8)
+        out = jnp.where((out_rows == (pos >> 2)) & can, out | ins, out)
         pos = pos + jnp.where(can, 1 + (byte == 0xFF), 0)
         nbits = nbits - jnp.where(can, 8, 0)
         return nbits, pos, out
 
     return jax.lax.while_loop(emit_cond, emit, (nbits, pos, out))
+
+
+def _unpack_words(out, S: int, m_out: int):
+    """(W4, Sp) word-packed kernel output → (S, m_out) uint8 bytes, pure
+    elementwise + reshape (no gathers)."""
+    shifts = jnp.arange(4, dtype=jnp.int32) * 8
+    b = ((out.T[:S, :, None] >> shifts[None, None, :]) & 0xFF)
+    return b.reshape(S, -1)[:, :m_out].astype(jnp.uint8)
 
 
 def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
@@ -162,8 +176,8 @@ def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
     """
     n_compact = ncomp_ref[:]                    # (1, CHUNK)
     CHUNK = n_compact.shape[1]
-    W = out_ref.shape[0]
-    out_rows = jax.lax.broadcasted_iota(jnp.int32, (W, CHUNK), 0)
+    W4 = out_ref.shape[0]                       # word-packed rows
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (W4, CHUNK), 0)
     shift_in = _shift_in64
 
     def drain(acc_hi, acc_lo, nbits, pos, out):
@@ -201,7 +215,7 @@ def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
 
     zr = jnp.zeros((1, CHUNK), jnp.int32)
     init = (jnp.zeros((), jnp.int32), zr, zr, zr, zr,
-            jnp.zeros((W, CHUNK), jnp.int32))
+            jnp.zeros((W4, CHUNK), jnp.int32))
     final = jax.lax.while_loop(cond, body, init)
     out_ref[:] = final[5]
     lens_ref[:] = final[4]
@@ -234,7 +248,7 @@ def pack_stuff_pallas(c_hi, c_lo, c_len, raw_bytes_len,
     CH = min(lane_chunk, max(128, 1 << (S - 1).bit_length()))
     Sp = -(-S // CH) * CH
     Kp = -(-K // 8) * 8        # symbols on the sublane axis: pad to 8
-    W = -(-m_out // 8) * 8
+    W4 = -(-m_out // 32) * 8   # word-packed output rows (x8 sublanes)
 
     def padt(x):
         """Pad lanes and transpose to the kernel's (K, S) layout."""
@@ -259,18 +273,18 @@ def pack_stuff_pallas(c_hi, c_lo, c_len, raw_bytes_len,
             pl.BlockSpec((1, CH), col, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((W, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W4, CH), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CH), col, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((W, Sp), jnp.int32),
+            jax.ShapeDtypeStruct((W4, Sp), jnp.int32),
             jax.ShapeDtypeStruct((1, Sp), jnp.int32),
         ),
         interpret=interpret,
     )(c_hi, c_lo, c_len, ncomp)
     out_lens = lens[0, :S]
     overflow = overflow | jnp.any(out_lens > m_out)
-    return (out.T[:S, :m_out].astype(jnp.uint8), out_lens, overflow)
+    return (_unpack_words(out, S, m_out), out_lens, overflow)
 
 
 # fused-FSM kernel unrolls one prologue/epilogue per block at compile
@@ -308,10 +322,10 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
     """
     B = len(comp_sched)
     CHUNK = out_ref.shape[1]
-    W = out_ref.shape[0]
+    W4 = out_ref.shape[0]                       # word-packed rows
     shr = jax.lax.shift_right_logical
     shl = jax.lax.shift_left
-    out_rows = jax.lax.broadcasted_iota(jnp.int32, (W, CHUNK), 0)
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (W4, CHUNK), 0)
     shift_in = _shift_in64
 
     def drain(acc_hi, acc_lo, nbits, pos, out):
@@ -340,7 +354,7 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
 
     zr = jnp.zeros((1, CHUNK), jnp.int32)
     acc_hi, acc_lo, nbits, pos = zr, zr, zr, zr
-    out = jnp.zeros((W, CHUNK), jnp.int32)
+    out = jnp.zeros((W4, CHUNK), jnp.int32)
     C = dctab_ref.shape[0] // 12
     dcpred = jnp.zeros((C, CHUNK), jnp.int32)
     crows = jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 0)
@@ -433,7 +447,7 @@ def encode_segments_fused(qc_seg, valid_seg, dctab, actab, *,
     B = len(comp_sched)
     CH = min(lane_chunk, max(128, 1 << (S - 1).bit_length()))
     Sp = -(-S // CH) * CH
-    W = -(-m_out // 8) * 8
+    W4 = -(-m_out // 32) * 8   # word-packed output rows
     Bv = -(-B // 8) * 8   # sublane-align the per-block valid rows
 
     coefs = jnp.pad(qc_seg.astype(jnp.int32), ((0, Sp - S), (0, 0))).T
@@ -453,18 +467,18 @@ def encode_segments_fused(qc_seg, valid_seg, dctab, actab, *,
             pl.BlockSpec(actab.shape, rep, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((W, CH), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W4, CH), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CH), col, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((W, Sp), jnp.int32),
+            jax.ShapeDtypeStruct((W4, Sp), jnp.int32),
             jax.ShapeDtypeStruct((1, Sp), jnp.int32),
         ),
         interpret=interpret,
     )(coefs, valid, dctab, actab)
     out_lens = lens[0, :S]
     overflow = jnp.any(out_lens > m_out)
-    return (out.T[:S, :m_out].astype(jnp.uint8), out_lens, overflow)
+    return (_unpack_words(out, S, m_out), out_lens, overflow)
 
 
 def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
