@@ -77,6 +77,28 @@ def test_pallas_decode_restart_segments(gather_impl, mini64_frames):
         assert np.array_equal(out, golden)
 
 
+@pytest.mark.parametrize("layout", ["lanes", "bs"])
+def test_pallas_decode_kernel_layouts(layout, mini64_frames):
+    """The lanes-major and block-synchronized kernels are bit-identical
+    to the host decoder (interpret mode), including windows that cross
+    the bs kernel's block-window boundary (ri=4 -> 24 blocks/segment)."""
+    from video_coding_tpu.entropy.pallas_decode import decode_scan_pallas
+
+    src = mini64_frames[ChromaSubsampling.C420]
+    for ri, q in [(1, 75), (4, 30)]:
+        data = menc.encode_420(src, q, restart_interval=ri)
+        dec = decoder_for(data)
+        golden = dec.decode_entropy()
+        comp_idx = np.array([s[0] for s in dec.block_schedule()],
+                            dtype=np.int32)
+        mcu = sum(c.component.horizontal_sampling_factor
+                  * c.component.vertical_sampling_factor
+                  for c in dec.components)
+        out = decode_scan_pallas(dec.entropy_segments, comp_idx, ri * mcu,
+                                 dec_tables(dec), layout=layout)
+        assert np.array_equal(out, golden)
+
+
 def test_pallas_decode_corrupt_stream_terminates():
     """Garbage lanes stop at max_iters instead of hanging (the error-
     strobe analog, codeblock_decoder.ml:19-26)."""

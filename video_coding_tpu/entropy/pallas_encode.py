@@ -116,19 +116,22 @@ def _shift_in64(acc_hi, acc_lo, nbits, val, ln):
             jnp.where(keep, acc_lo, new_lo), nbits + ln)
 
 
-def _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows):
-    """Emit complete bytes at each lane's output cursor while any lane
+def _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows, passes: int = 4):
+    """Emit complete bytes at each lane's output cursor until no lane
     holds ≥ 8 pending bits; 0xFF00 stuffing is a cursor skip (the
     stuffed 0x00 is the untouched zero-initialized slot).
 
     The output grid is WORD-PACKED — (W/4, CHUNK) int32, 4 bytes per
     row — so each emit's one-hot write touches a quarter of the rows a
     byte grid would (each byte slot is written at most once, so the
-    or-insert composes exactly); `pos` stays a byte cursor."""
-    def emit_cond(st):
-        nbits = st[0]
-        return jnp.any(nbits >= 8)
+    or-insert composes exactly); `pos` stays a byte cursor.
 
+    The drain is a FIXED ``passes``-deep unroll, not a while_loop: the
+    caller bounds its worst-case pending bits (7 carried + the pieces
+    it shifted in since the last drain) and pending < 8·passes + 8
+    guarantees a full drain; the unrolled form trades a few predicated
+    vector ops for the per-pass scalar reduce + branch a while_loop
+    pays."""
     def emit(st):
         nbits, pos, out = st
         can = nbits >= 8
@@ -139,7 +142,10 @@ def _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows):
         nbits = nbits - jnp.where(can, 8, 0)
         return nbits, pos, out
 
-    return jax.lax.while_loop(emit_cond, emit, (nbits, pos, out))
+    st = (nbits, pos, out)
+    for _ in range(passes):
+        st = emit(st)
+    return st
 
 
 def _unpack_words(out, S: int, m_out: int):
@@ -328,8 +334,11 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
     out_rows = jax.lax.broadcasted_iota(jnp.int32, (W4, CHUNK), 0)
     shift_in = _shift_in64
 
+    # worst pending before a drain here: 7 carried + a 16-bit ZRL + a
+    # 26-bit code+magnitude (jbody drains once after both) = 49 bits
     def drain(acc_hi, acc_lo, nbits, pos, out):
-        return _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows)
+        return _drain64(acc_hi, acc_lo, nbits, pos, out, out_rows,
+                        passes=6)
 
     def bitlen(v):
         """Size category of v ≥ 0 (≤ 2047)."""
