@@ -127,3 +127,24 @@ def test_indexed_foreign_stream_parallel_decode():
     for p in "yuv":
         assert np.array_equal(getattr(got, p).data,
                               getattr(golden, p).data)
+
+
+def test_indexed_foreign_batch_decode(mouse_jpg):
+    """Batched indexed decode: a batch of restart-free camera JPEGs pools
+    every frame's virtual segments into one device lane set (the
+    decode-for-training ingest shape), bit-exact per frame."""
+    import pytest
+
+    from video_coding_tpu.entropy import native as entropy_native
+
+    if entropy_native.load() is None:
+        pytest.skip("native engine unavailable")
+    golden = mdec.decode_a_frame(mouse_jpg)
+    header, payload = _header_payload(mouse_jpg)
+    sess = engine.JpegDecoderSession(header)
+    batch = sess.decode_device_batch([payload, payload])
+    for planes in batch:
+        f = sess._to_frame(planes)
+        for p in "yuv":
+            assert np.array_equal(getattr(f, p).data,
+                                  getattr(golden, p).data)

@@ -596,13 +596,16 @@ class JpegDecoderSession:
         n_comp = len(self.components)
         comp_sched = jnp.asarray(self.comp_idx[:stride])
         n_blocks = self.n_blocks
+        # bound the lane chunk by the kernel's VMEM budget (the B=stride
+        # coefficient carry is ~4x a ri=1 segment's)
+        lanes = max(128, pallas_decode.max_lanes_t(L, stride))
 
         def run(flat, starts, lens, seg_blocks, bp0, dc0, inv_perm):
             segbytes = self._gather_lanes(flat, starts, lens, L)
             coefs3 = pallas_decode.decode_segments_pallas_t(
                 segbytes, seg_blocks, comp_sched, *lut_args,
                 blocks_per_segment=stride, n_components=n_comp,
-                init_bitpos=bp0, init_dc=dc0,
+                init_bitpos=bp0, init_dc=dc0, lanes=min(lanes, 512),
                 interpret=jax.default_backend() == "cpu")
             coefs3 = jnp.take(coefs3, inv_perm, axis=0)
             return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
@@ -847,6 +850,11 @@ class JpegDecoderSession:
                 raise DecodeError("restart segment count mismatch")
             parts.append(flat)
             lens_parts.append(lens64)
+        if (n_seg == 1
+                and self.n_blocks >= 8 * self._index_stride()):
+            out = self._decode_device_batch_indexed(parts)
+            if out is not None:
+                return out
         flat = (np.concatenate(parts) if len(parts) > 1 else parts[0])
         lens64 = np.concatenate(lens_parts)
         B = self.blocks_per_segment
@@ -859,6 +867,92 @@ class JpegDecoderSession:
         fn = self._device_e2e_batch_flat_jit(F, L, M)
         return fn(flat_p, jnp.asarray(starts), jnp.asarray(lens),
                   jnp.asarray(seg_blocks), jnp.asarray(inv_perm))
+
+    def _decode_device_batch_indexed(self, flats: list):
+        """Batched indexed decode of single-segment (foreign) streams:
+        every frame's restart-free scan is index-scanned (threaded C++)
+        and all frames' virtual segments pool into one lane set — the
+        decode-for-training ingest shape for camera JPEGs. Returns
+        stacked planes, or None when the native engine is unavailable."""
+        stride = self._index_stride()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def scan(fl):
+            return entropy_scan.index_scan(fl, self.comp_idx, stride,
+                                           self.tables)
+
+        if len(flats) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(flats))) as ex:
+                idxs = list(ex.map(scan, flats))
+        else:
+            idxs = [scan(flats[0])]
+        if any(i is None for i in idxs):
+            return None
+        F = len(flats)
+        C = len(self.components)
+        R = (self.n_blocks + stride - 1) // stride
+        starts_l, lens_l, bp0_l, dc0_l = [], [], [], []
+        base = 0
+        for fl, (bo, dp) in zip(flats, idxs):
+            s64 = bo >> 3
+            ends = np.empty(R, np.int64)
+            ends[:-1] = (bo[1:] + 7) >> 3
+            ends[-1] = len(fl)
+            starts_l.append(s64 + base)
+            lens_l.append(ends - s64)
+            bp0_l.append((bo - 8 * s64).astype(np.int32))
+            dc0_l.append(dp[:, :C].astype(np.int32))
+            base += len(fl)
+        flat = (np.concatenate(flats) if F > 1 else flats[0])
+        starts64 = np.concatenate(starts_l)
+        lens64 = np.concatenate(lens_l)
+        bp0 = np.concatenate(bp0_l)
+        dc0 = np.concatenate(dc0_l)
+        seg_blocks = np.full(R, stride, dtype=np.int32)
+        if self.n_blocks % stride:
+            seg_blocks[-1] = self.n_blocks % stride
+        seg_blocks = np.tile(seg_blocks, F)
+        order = np.argsort(-lens64, kind="stable")
+        inv_perm = np.empty(F * R, np.int32)
+        inv_perm[order] = np.arange(F * R, dtype=np.int32)
+        starts = starts64.astype(np.int32)[order]
+        lens = lens64.astype(np.int32)[order]
+        bp0, dc0, seg_blocks = bp0[order], dc0[order], seg_blocks[order]
+        L = 1 << max(6, int(int(lens.max()) + 4 - 1).bit_length())
+        M = 1 << max(12, (len(flat) + 8 - 1).bit_length())
+        flat_p = np.zeros(M, np.uint8)
+        flat_p[:len(flat)] = flat
+        fn = self._cached_jit(
+            ("e2e_batch_indexed", F, L, M, stride),
+            self._build_device_e2e_batch_indexed_jit, F, L, stride)
+        return fn(flat_p, jnp.asarray(starts), jnp.asarray(lens),
+                  jnp.asarray(seg_blocks), jnp.asarray(bp0),
+                  jnp.asarray(dc0), jnp.asarray(inv_perm))
+
+    def _build_device_e2e_batch_indexed_jit(self, F: int, L: int,
+                                            stride: int):
+        from ..entropy import pallas_decode, tpu_decode
+
+        lut_args = tuple(map(jnp.asarray,
+                             tpu_decode.range_tables(self.tables)))
+        n_comp = len(self.components)
+        comp_sched = jnp.asarray(self.comp_idx[:stride])
+        n_blocks = self.n_blocks
+        R = (n_blocks + stride - 1) // stride
+        lanes = max(128, pallas_decode.max_lanes_t(L, stride))
+
+        def run(flat, starts, lens, seg_blocks, bp0, dc0, inv_perm):
+            segbytes = self._gather_lanes(flat, starts, lens, L)
+            coefs3 = pallas_decode.decode_segments_pallas_t(
+                segbytes, seg_blocks, comp_sched, *lut_args,
+                blocks_per_segment=stride, n_components=n_comp,
+                init_bitpos=bp0, init_dc=dc0, lanes=min(lanes, 512),
+                interpret=jax.default_backend() == "cpu")
+            coefs3 = jnp.take(coefs3, inv_perm, axis=0)
+            coefs = coefs3.reshape(F, R * stride, 64)[:, :n_blocks, :]
+            return self._decode_tail_batch(coefs.reshape(-1, 64), F)
+
+        return jax.jit(run)
 
     def _device_e2e_batch_flat_jit(self, F: int, L: int, M: int):
         return self._cached_jit(("e2e_batch_flat", F, L, M),
