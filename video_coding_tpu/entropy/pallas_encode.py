@@ -314,10 +314,8 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
       component — and therefore its Huffman table rows and its ZRL/EOB
       codewords — are compile-time constants (the analog of the RTL's
       elaboration-time table ROMs, huffman_encode.ml:55-97);
-    - per-lane (run, size) lookups use the VPU's in-register lane
-      gather (ops/lookup.py technique): the chunk is 128 lanes so a
-      (1, 128) table row gathers per-lane in one op — ~10x cheaper
-      than the 176-row one-hot reduction this kernel used previously;
+    - per-lane (run, size) lookups are one-hot reductions over the
+      block's static 176-entry AC table column;
     - runs emit ZRL eagerly at run==16 — safe because positions past
       the block's last nonzero are masked off, so every counted run is
       followed by a real codeword;
@@ -325,10 +323,8 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
       one codeword fit the 64-bit accumulator per step with a single
       adaptive drain.
 
-    coefs_ref (B·64, CHUNK) int32; valid_ref (B, CHUNK); dctab
-    (C, 128) / actab (C·2, 128) packed (code<<5 | len) rows (each
-    component's 12 / 176 entries padded to full 128-lane vregs).
-    CHUNK must be 128: the lane gather reaches only within one vreg.
+    coefs_ref (B·64, CHUNK) int32; valid_ref (B, CHUNK); dctab/actab
+    (C·12, 1)/(C·176, 1) packed (code<<5 | len) columns.
     """
     B = len(comp_sched)
     CHUNK = out_ref.shape[1]
@@ -355,14 +351,12 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
         # explicit form: keep to the op vocabulary Mosaic lowers
         return jnp.where(v < 0, 0 - v, v)
 
-    def vgather(row, idx):
-        """row (1, 128) table vreg, idx (1, 128) per-lane indices < 128
-        → row[idx]: the VPU in-register lane shuffle. Operands are
-        broadcast to the native (8, 128) tile — Mosaic's gather rule
-        rejects sub-tile shapes."""
-        row8 = jnp.broadcast_to(row, (8, row.shape[1]))
-        idx8 = jnp.broadcast_to(idx, (8, idx.shape[1]))
-        return jnp.take_along_axis(row8, idx8, axis=1)[0:1, :]
+    def lookup_col(tabcol, idx, n):
+        """tabcol (n, 1) int32, idx (1, CHUNK) → tabcol[idx] (1, CHUNK)
+        as a one-hot reduction (no per-lane gathers on TPU)."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, CHUNK), 0)
+        return jnp.sum(jnp.where(rows == idx, tabcol, 0), axis=0,
+                       keepdims=True)
 
     def mag_bits(v, size):
         return jnp.where(v >= 0, v, v - 1) & (shl(1, size) - 1)
@@ -370,7 +364,7 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
     zr = jnp.zeros((1, CHUNK), jnp.int32)
     acc_hi, acc_lo, nbits, pos = zr, zr, zr, zr
     out = jnp.zeros((W4, CHUNK), jnp.int32)
-    C = dctab_ref.shape[0]
+    C = dctab_ref.shape[0] // 12
     dcpred = jnp.zeros((C, CHUNK), jnp.int32)
     crows = jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 0)
 
@@ -378,12 +372,10 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
         comp = int(comp_sched[b])
         base = b * 64
         vb = valid_ref[b:b + 1, :] != 0
-        dcrow = dctab_ref[comp:comp + 1, :]          # (1, 128) vreg
-        ac0 = actab_ref[comp * 2:comp * 2 + 1, :]    # AC entries 0..127
-        ac1 = actab_ref[comp * 2 + 1:comp * 2 + 2, :]  # entries 128..175
-        zpk = vgather(ac1, jnp.full((1, CHUNK), 15 * 11 - 128,
-                                    jnp.int32))      # ZRL (run 15, size 0)
-        epk = vgather(ac0, jnp.zeros((1, CHUNK), jnp.int32))  # EOB
+        dcrow = dctab_ref[comp * 12:(comp + 1) * 12, :]
+        acrow = actab_ref[comp * 176:(comp + 1) * 176, :]
+        zpk = acrow[15 * 11:15 * 11 + 1, :]          # ZRL (run 15, size 0)
+        epk = acrow[0:1, :]                          # EOB (run 0, size 0)
 
         # --- DC: differential vs per-component predictor ----------------
         coef0 = coefs_ref[base:base + 1, :]
@@ -391,7 +383,7 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
         diff = jnp.where(vb, coef0 - prev, 0)
         dcpred = jnp.where((crows == comp) & vb, coef0, dcpred)
         dsize = bitlen(jnp.abs(diff))
-        dpk = vgather(dcrow, dsize)
+        dpk = lookup_col(dcrow, dsize, 12)
         dval = shl(shr(dpk, 5), dsize) | mag_bits(diff, dsize)
         acc_hi, acc_lo, nbits = shift_in(
             acc_hi, acc_lo, nbits, dval,
@@ -405,7 +397,7 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
                           keepdims=True)
 
         def jbody(j, st, base=base, vb=vb, last_nz=last_nz, zpk=zpk,
-                  ac0=ac0, ac1=ac1):
+                  acrow=acrow):
             acc_hi, acc_lo, nbits, pos, out, run = st
             coef = coefs_ref[pl.ds(base + j, 1), :]
             active = vb & (j <= last_nz)
@@ -417,9 +409,7 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
                 jnp.where(zfire, zpk & 31, 0))
             run = jnp.where(zfire, 0, run)
             asize = bitlen(jnp.abs(coef))
-            aidx = run * 11 + asize
-            apk = jnp.where(aidx < 128, vgather(ac0, aidx & 127),
-                            vgather(ac1, aidx & 127))
+            apk = lookup_col(acrow, run * 11 + asize, 176)
             aval = shl(shr(apk, 5), asize) | mag_bits(coef, asize)
             acc_hi, acc_lo, nbits = shift_in(
                 acc_hi, acc_lo, nbits, aval,
@@ -464,9 +454,7 @@ def encode_segments_fused(qc_seg, valid_seg, dctab, actab, *,
     Huffman + pack + stuff chain runs in _fsm_kernel."""
     S = qc_seg.shape[0]
     B = len(comp_sched)
-    # the kernel's table lookups are in-register lane gathers, which
-    # reach only within one 128-lane vreg — the chunk is exactly 128
-    CH = 128
+    CH = min(lane_chunk, max(128, 1 << (S - 1).bit_length()))
     Sp = -(-S // CH) * CH
     W4 = -(-m_out // 32) * 8   # word-packed output rows
     Bv = -(-B // 8) * 8   # sublane-align the per-block valid rows
@@ -539,15 +527,10 @@ def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
     if sched is not None and B > FUSED_MAX_BLOCKS:
         sched = None
     if sched is not None:
-        # per-component table vregs for the in-register lane gather:
-        # DC 12 entries → one (1,128) row; AC 176 → two rows
-        dcp = ((dc_bits.astype(jnp.int32) << 5)
-               | dc_len.astype(jnp.int32)).reshape(-1, 12)
-        acp = ((ac_bits.astype(jnp.int32) << 5)
-               | ac_len.astype(jnp.int32)).reshape(-1, 176)
-        Ct = dcp.shape[0]
-        dctab = jnp.pad(dcp, ((0, 0), (0, 116)))
-        actab = jnp.pad(acp, ((0, 0), (0, 80))).reshape(Ct * 2, 128)
+        dctab = ((dc_bits.astype(jnp.int32) << 5)
+                 | dc_len.astype(jnp.int32)).reshape(-1, 1)
+        actab = ((ac_bits.astype(jnp.int32) << 5)
+                 | ac_len.astype(jnp.int32)).reshape(-1, 1)
         valid_seg = (jnp.ones((S, B), jnp.int32) if valid is None
                      else valid.reshape(S, B).astype(jnp.int32))
         m_out = max_seg_bytes + max_seg_bytes // 4 + 8
