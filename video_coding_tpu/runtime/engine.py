@@ -446,30 +446,50 @@ class JpegDecoderSession:
         destuffed bitstream crosses to the device and only the planes come
         back — the production path when host↔device bandwidth is the
         bottleneck."""
-        from ..entropy import tpu_decode
-
         self._check_device_entropy_route()
         if self.mesh is None:
             return self._decode_device_e2e_flat(entropy_data)
-        segments = entropy_scan.destuff_segments(entropy_data)
-        segbytes, lens = tpu_decode.pack_segments(segments)
-        S = len(segments)
-        seg_blocks = self._expected_seg_blocks(S)
-        segbytes, seg_blocks = _pad_segments_for_mesh(
-            segbytes, seg_blocks, _mesh_devices(self.mesh))
-        lens = np.pad(np.asarray(lens), (0, segbytes.shape[0] - S))
-        segbytes, seg_blocks, inv_perm = _balance_segments(
-            segbytes, seg_blocks, lens, _mesh_devices(self.mesh))
-        # bucket the byte length to bound recompiles
-        L = 1 << max(6, (segbytes.shape[1] - 1).bit_length())
-        if L > segbytes.shape[1]:
-            segbytes = np.pad(segbytes,
-                              ((0, 0), (0, L - segbytes.shape[1])))
-        fn = self._device_e2e_jit(L)
+        return self._decode_device_e2e_mesh(entropy_data)
+
+    def _decode_device_e2e_mesh(self, entropy_data: bytes):
+        """Mesh-sharded fused decode with the flat-upload form: the flat
+        destuffed scan replicates (it is ~the compressed size) while the
+        per-lane offsets/lengths shard over the mesh; each shard gathers
+        its own lane matrix on device. Same wins as the single-device
+        flat path (no host pack loop, no padded-matrix transfer) — on a
+        real pod the replicated flat buffer rides the broadcast fabric
+        once instead of N matrix shards."""
+        flat, lens64 = entropy_scan.destuff_flat(entropy_data)
+        seg_blocks = self._expected_seg_blocks(len(lens64))
+        n_dev = _mesh_devices(self.mesh)
+        S = len(lens64)
+        lens = lens64.astype(np.int32)
+        starts = np.zeros(S, np.int32)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # pad the lane set to a device multiple (zero-length lanes decode
+        # nothing), then length-sort (see _balance_segments)
+        Sp = -(-S // n_dev) * n_dev
+        pad = Sp - S
+        starts = np.pad(starts, (0, pad))
+        lens = np.pad(lens, (0, pad))
+        seg_blocks = np.pad(seg_blocks, (0, pad))
+        order = np.argsort(-lens.astype(np.int64), kind="stable")
+        inv_perm = np.empty(Sp, np.int32)
+        inv_perm[order] = np.arange(Sp, dtype=np.int32)
+        starts, lens, seg_blocks = (starts[order], lens[order],
+                                    seg_blocks[order])
+        L = 1 << max(6, int(int(lens.max()) + 4 - 1).bit_length())
+        M = 1 << max(12, (len(flat) + 8 - 1).bit_length())
+        flat_p = np.zeros(M, np.uint8)
+        flat_p[:len(flat)] = flat
+        fn = self._cached_jit(("e2e_mesh_flat", L, M),
+                              self._build_device_e2e_flat_jit, L)
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(self.mesh.axis_names)
-        return fn(_global_input(segbytes, self.mesh, P(axes, None)),
+        return fn(_global_input(flat_p, self.mesh, P()),
+                  _global_input(starts, self.mesh, P(axes)),
+                  _global_input(lens, self.mesh, P(axes)),
                   _global_input(seg_blocks, self.mesh, P(axes)),
                   _global_input(inv_perm, self.mesh, P()))
 
@@ -626,7 +646,7 @@ class JpegDecoderSession:
             coefs3 = jnp.take(coefs3, inv_perm, axis=0)
             return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
 
-        return jax.jit(run)
+        return jax.jit(run, out_shardings=_replicated(self.mesh))
 
     def decode_device(self, entropy_data: bytes) -> Frame:
         return self._to_frame(self.decode_device_e2e(entropy_data))
