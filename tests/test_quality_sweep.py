@@ -148,3 +148,16 @@ def test_indexed_foreign_batch_decode(mouse_jpg):
         for p in "yuv":
             assert np.array_equal(getattr(f, p).data,
                                   getattr(golden, p).data)
+
+
+def test_foreign_to_segmented_transcode(mouse_jpg):
+    """Ingest a foreign restart-free camera JPEG and re-emit it
+    restart-segmented (the 'make it parallel-decodable' service shape):
+    the device transcode — indexed parallel decode chained into the
+    fused encode — equals the model's decode-then-encode byte-for-byte."""
+    header, payload = _header_payload(mouse_jpg)
+    t = engine.JpegTranscodeSession(header, quality=75, restart_interval=2)
+    out = t.transcode(payload)
+    ref = menc.encode_420(mdec.decode_a_frame(mouse_jpg), 75,
+                          restart_interval=2)
+    assert out == ref

@@ -78,15 +78,21 @@ def test_pallas_decode_restart_segments(gather_impl, mini64_frames):
 
 
 @pytest.mark.parametrize("layout", ["lanes", "bs"])
-def test_pallas_decode_kernel_layouts(layout, mini64_frames):
+@pytest.mark.parametrize("sub", [ChromaSubsampling.C420,
+                                 ChromaSubsampling.C444])
+def test_pallas_decode_kernel_layouts(layout, sub, mini64_frames):
     """The lanes-major and block-synchronized kernels are bit-identical
     to the host decoder (interpret mode), including windows that cross
-    the bs kernel's block-window boundary (ri=4 -> 24 blocks/segment)."""
+    the bs kernel's block-window boundary (ri=4) and the odd-period
+    4:4:4 schedule (MCU = 3 blocks — exercises the window/period
+    alignment)."""
     from video_coding_tpu.entropy.pallas_decode import decode_scan_pallas
 
-    src = mini64_frames[ChromaSubsampling.C420]
+    src = mini64_frames[sub]
+    enc = (menc.encode_420 if sub is ChromaSubsampling.C420
+           else menc.encode_444)
     for ri, q in [(1, 75), (4, 30)]:
-        data = menc.encode_420(src, q, restart_interval=ri)
+        data = enc(src, q, restart_interval=ri)
         dec = decoder_for(data)
         golden = dec.decode_entropy()
         comp_idx = np.array([s[0] for s in dec.block_schedule()],
