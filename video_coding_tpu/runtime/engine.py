@@ -572,65 +572,11 @@ class JpegDecoderSession:
         symbol walk; all coefficient decode runs wide on device lanes.
         Returns decoded planes, or None when the native engine is
         unavailable (caller falls back to the serial single-lane route).
-        """
-        stride = self._index_stride()
-        idx = entropy_scan.index_scan(flat, self.comp_idx, stride,
-                                      self.tables)
-        if idx is None:
+        Implemented as the F=1 case of the batched form."""
+        out = self._decode_device_batch_indexed([flat])
+        if out is None:
             return None
-        bit_offsets, dc_preds = idx
-        R = len(bit_offsets)
-        starts64 = bit_offsets >> 3
-        bp0 = (bit_offsets - 8 * starts64).astype(np.int32)
-        ends = np.empty(R, np.int64)
-        ends[:-1] = (bit_offsets[1:] + 7) >> 3
-        ends[-1] = len(flat)
-        lens64 = ends - starts64
-        seg_blocks = np.full(R, stride, dtype=np.int32)
-        if self.n_blocks % stride:
-            seg_blocks[-1] = self.n_blocks % stride
-        dc0 = dc_preds[:, :len(self.components)].astype(np.int32)
-        # load-balance lanes by window length (as _flat_lane_inputs)
-        order = np.argsort(-lens64, kind="stable")
-        inv_perm = np.empty(R, np.int32)
-        inv_perm[order] = np.arange(R, dtype=np.int32)
-        starts = starts64.astype(np.int32)[order]
-        lens = lens64.astype(np.int32)[order]
-        bp0, dc0, seg_blocks = bp0[order], dc0[order], seg_blocks[order]
-        L = 1 << max(6, int(int(lens.max()) + 4 - 1).bit_length())
-        M = 1 << max(12, (len(flat) + 8 - 1).bit_length())
-        flat_p = np.zeros(M, np.uint8)
-        flat_p[:len(flat)] = flat
-        fn = self._cached_jit(("e2e_indexed", L, M, stride),
-                              self._build_device_e2e_indexed_jit, L,
-                              stride)
-        return fn(flat_p, jnp.asarray(starts), jnp.asarray(lens),
-                  jnp.asarray(seg_blocks), jnp.asarray(bp0),
-                  jnp.asarray(dc0), jnp.asarray(inv_perm))
-
-    def _build_device_e2e_indexed_jit(self, L: int, stride: int):
-        from ..entropy import pallas_decode, tpu_decode
-
-        lut_args = tuple(map(jnp.asarray,
-                             tpu_decode.range_tables(self.tables)))
-        n_comp = len(self.components)
-        comp_sched = jnp.asarray(self.comp_idx[:stride])
-        n_blocks = self.n_blocks
-        # bound the lane chunk by the kernel's VMEM budget (the B=stride
-        # coefficient carry is ~4x a ri=1 segment's)
-        lanes = max(128, pallas_decode.max_lanes_t(L, stride))
-
-        def run(flat, starts, lens, seg_blocks, bp0, dc0, inv_perm):
-            segbytes = self._gather_lanes(flat, starts, lens, L)
-            coefs3 = pallas_decode.decode_segments_pallas_t(
-                segbytes, seg_blocks, comp_sched, *lut_args,
-                blocks_per_segment=stride, n_components=n_comp,
-                init_bitpos=bp0, init_dc=dc0, lanes=min(lanes, 512),
-                interpret=jax.default_backend() == "cpu")
-            coefs3 = jnp.take(coefs3, inv_perm, axis=0)
-            return self._decode_tail(coefs3.reshape(-1, 64)[:n_blocks])
-
-        return jax.jit(run)
+        return tuple(p[0] for p in out)
 
     def _device_e2e_flat_jit(self, L: int, M: int):
         return self._cached_jit(("e2e_flat", L, M),
