@@ -821,7 +821,8 @@ def decode_scan_pallas(segments: list[bytes], comp_idx: np.ndarray,
                        interpret: bool | None = None) -> np.ndarray:
     """Drop-in alternative to tpu_decode.decode_scan_tpu running the
     Huffman loop in the Pallas kernel (layout: 'sublanes' = original
-    kernel, 'lanes' = transposed kernel). Returns (n_blocks, 64) int32."""
+    kernel, 'lanes' = lanes-major transposed kernel, 'bs' =
+    block-synchronized streamed kernel). Returns (n_blocks, 64) int32."""
     from .tpu_decode import pack_segments, range_tables
 
     if interpret is None:
