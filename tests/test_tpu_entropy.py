@@ -236,3 +236,31 @@ def test_pallas_packer_through_session(mini64_frames):
     got = JpegEncoderSession(params, restart_interval=2,
                              device_pack="pallas").encode_device(src)
     assert got == ref
+
+
+def test_assemble_stream_device_matches_naive_join():
+    """The word-packed wire assembly (re-aligned int32 scatter + reshape
+    unpack) equals the naive bytes join with RSTn markers, across odd
+    offsets, 0xFF-heavy content and varied segment lengths."""
+    import jax.numpy as jnp
+
+    from video_coding_tpu.entropy.tpu_encode import assemble_stream_device
+
+    rng = np.random.default_rng(5)
+    S, M = 37, 23
+    out = np.zeros((S, M), np.uint8)
+    lens = rng.integers(1, M + 1, size=S).astype(np.int32)
+    for s in range(S):
+        out[s, :lens[s]] = rng.integers(0, 256, lens[s])
+        out[s, lens[s]:] = 0
+    out[3, :lens[3]] = 0xFF  # stuffing-ish content crossing words
+    cap = int(lens.sum() + 2 * S + 16)
+    buf, total = assemble_stream_device(jnp.asarray(out),
+                                        jnp.asarray(lens), cap=cap)
+    got = np.asarray(buf)[:int(total)].tobytes()
+    ref = bytearray()
+    for s in range(S):
+        if s > 0:
+            ref += bytes((0xFF, 0xD0 + ((s - 1) & 7)))
+        ref += out[s, :lens[s]].tobytes()
+    assert got == bytes(ref)
