@@ -161,3 +161,111 @@ def test_foreign_to_segmented_transcode(mouse_jpg):
     ref = menc.encode_420(mdec.decode_a_frame(mouse_jpg), 75,
                           restart_interval=2)
     assert out == ref
+
+
+def _foreign_stream(sub=ChromaSubsampling.C420, w=256, h=128, q=75,
+                    seed=11):
+    """A restart-free ('foreign-style') stream + its session, big enough
+    for the indexed parallel route (n_blocks >= 8 * stride)."""
+    rng = np.random.default_rng(seed)
+    cw, ch = sub.chroma_width(w), sub.chroma_height(h)
+
+    def plane(pw, ph):
+        return Plane(data=rng.integers(0, 256, (ph, pw)).astype(np.uint8))
+
+    src = Frame(plane(w, h), plane(cw, ch), plane(cw, ch), sub)
+    encode = _ENCODERS[sub][0]
+    stream = encode(src, q, restart_interval=0)
+    header, payload = _header_payload(stream)
+    sess = engine.JpegDecoderSession(header)
+    assert sess.n_blocks >= 8 * sess._index_stride()
+    return stream, payload, sess
+
+
+def test_index_scan_python_fallback_matches_native():
+    """The pure-Python index_scan mirror produces bit-for-bit the same
+    (bit_offsets, dc_preds) records as the native symbol walk, so
+    .so-less installs keep the indexed parallel decode (VERDICT r3
+    item 8)."""
+    from video_coding_tpu.entropy import native as entropy_native
+    from video_coding_tpu.entropy import scan as entropy_scan
+
+    if entropy_native.load() is None:
+        pytest.skip("native engine unavailable for the comparison")
+    stream, payload, sess = _foreign_stream()
+    flat, lens64 = entropy_scan.destuff_flat(payload)
+    assert len(lens64) == 1
+    stride = sess._index_stride()
+    bo_n, dp_n = entropy_scan.index_scan(flat, sess.comp_idx, stride,
+                                         sess.tables)
+    bo_p, dp_p = entropy_scan._index_scan_py(flat, sess.comp_idx, stride,
+                                             sess.tables)
+    assert np.array_equal(bo_n, bo_p)
+    assert np.array_equal(dp_n, dp_p)
+
+
+def test_indexed_decode_via_python_index_scan(monkeypatch):
+    """The indexed parallel decode stays bit-exact when the index records
+    come from the pure-Python walk (the .so-less route)."""
+    from video_coding_tpu.entropy import scan as entropy_scan
+
+    stream, payload, sess = _foreign_stream()
+    golden = mdec.decode_a_frame(stream)
+    monkeypatch.setattr(
+        engine.entropy_scan, "index_scan",
+        lambda fl, ci, st, tb: entropy_scan._index_scan_py(fl, ci, st, tb))
+    got = sess.decode_device(payload)
+    for p in "yuv":
+        assert np.array_equal(getattr(got, p).data,
+                              getattr(golden, p).data)
+
+
+def test_indexed_decode_malformed_falls_back(monkeypatch):
+    """A stream the index scan rejects must not raise out of the device
+    tier (the golden model conceals malformed input): the indexed route
+    reports no index and the decode completes through the flat route
+    (ADVICE r3)."""
+    stream, payload, sess = _foreign_stream()
+    golden = mdec.decode_a_frame(stream)
+
+    def boom(*a, **k):
+        raise ValueError("index scan failed at block 0")
+
+    monkeypatch.setattr(engine.entropy_scan, "index_scan", boom)
+    got = sess.decode_device(payload)
+    for p in "yuv":
+        assert np.array_equal(getattr(got, p).data,
+                              getattr(golden, p).data)
+
+
+def test_indexed_decode_vmem_guard_falls_back(monkeypatch):
+    """When the lanes-major kernel state would not fit VMEM even at the
+    minimum lane count (max_lanes_t == 0), the indexed route declines and
+    the flat route decodes instead of launching over budget (ADVICE r3)."""
+    from video_coding_tpu.entropy import pallas_decode
+
+    stream, payload, sess = _foreign_stream()
+    golden = mdec.decode_a_frame(stream)
+    monkeypatch.setattr(pallas_decode, "max_lanes_t", lambda L, b: 0)
+    got = sess.decode_device(payload)
+    for p in "yuv":
+        assert np.array_equal(getattr(got, p).data,
+                              getattr(golden, p).data)
+
+
+@pytest.mark.parametrize("sub,w,h", [
+    (ChromaSubsampling.C422, 250, 94),   # 2x1 sampling, odd geometry
+    (ChromaSubsampling.C444, 132, 108),  # 1x1 sampling, non-MCU-multiple
+])
+def test_indexed_foreign_geometry_sweep(sub, w, h):
+    """Foreign-style (restart-free) streams with 4:2:2 / 4:4:4 sampling
+    and odd geometry decode through the indexed parallel route bit-exact
+    across the quality range (VERDICT r3 item 8: widen the contract
+    beyond the 4:2:0 camera shape)."""
+    for q in (30, 75, 95):
+        stream, payload, sess = _foreign_stream(sub, w, h, q)
+        golden = mdec.decode_a_frame(stream)
+        got = sess.decode_device(payload)
+        for p in "yuv":
+            assert np.array_equal(getattr(got, p).data,
+                                  getattr(golden, p).data)
