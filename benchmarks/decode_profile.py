@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--quality", type=int, default=75)
+    p.add_argument("--kernel-only", action="store_true",
+                   help="measure just the entropy kernel (skips the fused "
+                        "device-graph stages; used by bench.py to report "
+                        "the speed-of-light detail field cheaply)")
     args = p.parse_args(argv)
 
     import jax
@@ -87,8 +91,11 @@ def main(argv=None) -> int:
     dsb, dsgb, dinv = dev
 
     # stage 5: full device graph from resident arrays
-    fn = sess._device_e2e_jit(L)
-    ms_dev, _ = t(lambda: jax.block_until_ready(fn(dsb, dsgb, dinv)))
+    if not args.kernel_only:
+        fn = sess._device_e2e_jit(L)
+        ms_dev, _ = t(lambda: jax.block_until_ready(fn(dsb, dsgb, dinv)))
+    else:
+        ms_dev = float("nan")
 
     # stage 5a: entropy kernel only, resident
     from video_coding_tpu.entropy import pallas_decode
@@ -98,20 +105,26 @@ def main(argv=None) -> int:
     ms_ent, _ = t(lambda: jax.block_until_ready(
         pallas_decode.decode_segments_pallas_t(
             dsb, dsgb, sched, lo, hi, off, values,
-            blocks_per_segment=B, n_components=len(sess.components))))
+            blocks_per_segment=B, n_components=len(sess.components),
+            interpret=jax.default_backend() == "cpu")))
 
     # end to end (the bench number)
-    ms_e2e, _ = t(lambda: jax.block_until_ready(
-        sess.decode_device_e2e(payload)))
+    if not args.kernel_only:
+        ms_e2e, _ = t(lambda: jax.block_until_ready(
+            sess.decode_device_e2e(payload)))
+    else:
+        ms_e2e = float("nan")
 
-    print(json.dumps({
+    out = {
         "bench": "decode_profile", "platform": platform, "S": S, "L": L,
         "ms_destuff": round(ms_destuff, 2), "ms_pack": round(ms_pack, 2),
         "ms_balance": round(ms_bal, 2), "ms_upload": round(ms_up, 2),
-        "ms_device_graph": round(ms_dev, 2),
-        "ms_entropy_kernel": round(ms_ent, 2),
-        "ms_e2e": round(ms_e2e, 2),
-        "mpix_s_e2e": round(mpix / (ms_e2e / 1e3), 1)}), flush=True)
+        "ms_entropy_kernel": round(ms_ent, 2)}
+    if not args.kernel_only:
+        out.update({"ms_device_graph": round(ms_dev, 2),
+                    "ms_e2e": round(ms_e2e, 2),
+                    "mpix_s_e2e": round(mpix / (ms_e2e / 1e3), 1)})
+    print(json.dumps(out), flush=True)
     return 0
 
 
