@@ -790,41 +790,75 @@ class JpegDecoderSession:
         """Like decode_device_batch but returns the per-component
         batch-stacked (F, H, W) plane arrays directly (no per-frame
         slicing) — the form batched device consumers want."""
-        from ..entropy import tpu_decode
-
         self._check_device_entropy_route()
         F = len(entropy_list)
         B = self.blocks_per_segment
         n_seg = (self.n_blocks + B - 1) // B
         if self.mesh is None:
             return self._decode_device_batch_flat(entropy_list, F, n_seg)
-        all_segments = []
-        for e in entropy_list:
-            segs = entropy_scan.destuff_segments(e)
-            if len(segs) != n_seg:
+        return self._decode_device_batch_mesh(entropy_list, F, n_seg)
+
+    def _decode_device_batch_mesh(self, entropy_list: list[bytes],
+                                  F: int, n_seg: int):
+        """Mesh-sharded batched fused decode with the flat-upload form
+        (VERDICT r3 item 5 — the padded (S, L) matrix upload is gone):
+        the flat destuffed bytes replicate (they are ~the compressed
+        size), the per-lane offset/length arrays shard over the mesh, and
+        each shard gathers only its own lanes on device. The decode tail
+        re-shards coefficients frame-major so plane assembly is sharded
+        work, not replicated (the point-to-point analog of the
+        reference's FIFO chain, bytestream_decoder.ml:257-289)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(entropy_list) > 1:
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(entropy_list))) as ex:
+                destuffed = list(ex.map(entropy_scan.destuff_flat,
+                                        entropy_list))
+        else:
+            destuffed = [entropy_scan.destuff_flat(entropy_list[0])]
+        parts, lens_parts = [], []
+        for flat, lens64 in destuffed:
+            if len(lens64) != n_seg:
                 raise DecodeError("restart segment count mismatch")
-            all_segments.extend(segs)
-        segbytes, lens = tpu_decode.pack_segments(all_segments)
+            parts.append(flat)
+            lens_parts.append(lens64)
+        flat = (np.concatenate(parts) if len(parts) > 1 else parts[0])
+        lens64 = np.concatenate(lens_parts)
+        B = self.blocks_per_segment
         seg_blocks = np.full(n_seg, B, dtype=np.int32)
         if self.n_blocks % B:
             seg_blocks[-1] = self.n_blocks % B
         seg_blocks = np.tile(seg_blocks, F)
-        segbytes, seg_blocks = _pad_segments_for_mesh(
-            segbytes, seg_blocks, _mesh_devices(self.mesh))
-        lens = np.pad(np.asarray(lens),
-                      (0, segbytes.shape[0] - len(all_segments)))
-        segbytes, seg_blocks, inv_perm = _balance_segments(
-            segbytes, seg_blocks, lens, _mesh_devices(self.mesh))
-        L = 1 << max(6, (segbytes.shape[1] - 1).bit_length())
-        if L > segbytes.shape[1]:
-            segbytes = np.pad(segbytes,
-                              ((0, 0), (0, L - segbytes.shape[1])))
-        fn = self._device_e2e_batch_jit(F, L)
+        S = F * n_seg
+        lens = lens64.astype(np.int32)
+        starts = np.zeros(S, np.int32)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # pad the lane pool to a device multiple (zero-length lanes decode
+        # nothing), then length-sort into contiguous shard runs
+        n_dev = _mesh_devices(self.mesh)
+        Sp = -(-S // n_dev) * n_dev
+        pad = Sp - S
+        starts = np.pad(starts, (0, pad))
+        lens = np.pad(lens, (0, pad))
+        seg_blocks_p = np.pad(seg_blocks, (0, pad))
+        order = np.argsort(-lens.astype(np.int64), kind="stable")
+        inv = np.empty(Sp, np.int32)
+        inv[order] = np.arange(Sp, dtype=np.int32)
+        inv_perm = inv[:S]  # sorted position of each REAL segment
+        L = 1 << max(6, int(int(lens.max()) + 4 - 1).bit_length())
+        M = 1 << max(12, (len(flat) + 8 - 1).bit_length())
+        flat_p = np.zeros(M, np.uint8)
+        flat_p[:len(flat)] = flat
+        fn = self._cached_jit(("e2e_batch_mesh_flat", F, L, M, Sp),
+                              self._build_device_e2e_batch_flat_jit, F, L)
         from jax.sharding import PartitionSpec as P
 
-        axes = tuple(self.mesh.axis_names) if self.mesh is not None else ()
-        return fn(_global_input(segbytes, self.mesh, P(axes, None)),
-                  _global_input(seg_blocks, self.mesh, P(axes)),
+        axes = tuple(self.mesh.axis_names)
+        return fn(_global_input(flat_p, self.mesh, P()),
+                  _global_input(starts[order], self.mesh, P(axes)),
+                  _global_input(lens[order], self.mesh, P(axes)),
+                  _global_input(seg_blocks_p[order], self.mesh, P(axes)),
                   _global_input(inv_perm, self.mesh, P()))
 
     def _decode_device_batch_flat(self, entropy_list: list[bytes],
@@ -976,35 +1010,26 @@ class JpegDecoderSession:
         n_blocks = self.n_blocks
         n_seg = (n_blocks + B - 1) // B
         entropy_fn = self._entropy_graph()
+        mesh = self.mesh
 
         def run(flat, starts, lens, seg_blocks, inv_perm):
             segbytes = self._gather_lanes(flat, starts, lens, L)
             coefs3 = entropy_fn(segbytes, seg_blocks)
             coefs3 = jnp.take(coefs3, inv_perm, axis=0)
             coefs = coefs3.reshape(F, n_seg * B, 64)[:, :n_blocks, :]
+            if mesh is not None and F % mesh.size == 0:
+                # re-shard lane-sharded coefficients frame-major (one
+                # all-to-all) so the datapath + plane assembly are sharded
+                # per frame instead of replicated on every device
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                coefs = jax.lax.with_sharding_constraint(
+                    coefs, NamedSharding(
+                        mesh, PartitionSpec(tuple(mesh.axis_names))))
             return self._decode_tail_batch(coefs.reshape(-1, 64), F)
 
-        return jax.jit(run)
-
-    def _device_e2e_batch_jit(self, F: int, L: int):
-        return self._cached_jit(("e2e_batch", F, L),
-                                self._build_device_e2e_batch_jit, F, L)
-
-    def _build_device_e2e_batch_jit(self, F: int, L: int):
-        B = self.blocks_per_segment
-        n_blocks = self.n_blocks
-        n_seg = (n_blocks + B - 1) // B
-        entropy_fn = self._entropy_graph()
-
-        def run(segbytes, seg_blocks, inv_perm):
-            coefs3 = entropy_fn(segbytes, seg_blocks)
-            # undo the load-balancing permutation; mesh-divisibility
-            # padding segments then trail the real ones again
-            coefs3 = jnp.take(coefs3, inv_perm, axis=0)
-            coefs = coefs3[:F * n_seg].reshape(
-                F, n_seg * B, 64)[:, :n_blocks, :]
-            return self._decode_tail_batch(coefs.reshape(-1, 64), F)
-
+        # sharded compute, replicated (small uint8) outputs: every process
+        # of a multi-controller run must be able to read the planes
         return jax.jit(run, out_shardings=_replicated(self.mesh))
 
     def _rgb_tail(self, planes):
