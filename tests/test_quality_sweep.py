@@ -269,3 +269,21 @@ def test_indexed_foreign_geometry_sweep(sub, w, h):
         for p in "yuv":
             assert np.array_equal(getattr(got, p).data,
                                   getattr(golden, p).data)
+
+
+def test_word_row_gather_segmented_decode():
+    """The flat word-row lane materialization (decode_flat_pallas_t: 16-
+    byte row gathers + alignment slack in the per-lane bit cursor) is
+    bit-exact on a restart-segmented stream — forced via the explicit
+    'pallas_t' strategy so the interpret-mode kernel runs on CPU."""
+    src = _rand_frame(ChromaSubsampling.C420)
+    encode, _params, _ = _ENCODERS[ChromaSubsampling.C420]
+    for ri in (1, 3):
+        stream = encode(src, 75, restart_interval=ri)
+        header, payload = _header_payload(stream)
+        golden = mdec.decode_a_frame(stream)
+        sess = engine.JpegDecoderSession(header, device_huffman="pallas_t")
+        got = sess.decode_device(payload)
+        for p in "yuv":
+            assert np.array_equal(getattr(got, p).data,
+                                  getattr(golden, p).data)

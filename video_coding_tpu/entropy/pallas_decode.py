@@ -484,7 +484,6 @@ def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
     index_scan)."""
     S, L = segbytes.shape
     B = blocks_per_segment
-    T = lo.shape[0]
     # stride-16 32-bit windows: window w covers bits [16w, 16w+32) of the
     # segment (pack_segments guarantees ≥4 guard bytes)
     NW = max((L - 2) // 2, 1)
@@ -495,6 +494,87 @@ def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
     s3 = segu[:, 3:2 * NW + 2:2]
     words = jax.lax.bitcast_convert_type(
         (s0 << 24) | (s1 << 16) | (s2 << 8) | s3, jnp.int32).T  # (NW, S)
+    return _run_kernel_t(words, S, seg_blocks, comp_sched, lo, hi, offset,
+                         values, blocks_per_segment=B,
+                         n_components=n_components, lanes=lanes,
+                         syms_per_iter=syms_per_iter,
+                         init_bitpos=init_bitpos, init_dc=init_dc,
+                         interpret=interpret)
+
+
+def decode_flat_pallas_t(flat: jax.Array, starts: jax.Array,
+                         lens: jax.Array, seg_blocks: jax.Array,
+                         comp_sched: jax.Array, lo: jax.Array,
+                         hi: jax.Array, offset: jax.Array,
+                         values: jax.Array, *, L: int,
+                         blocks_per_segment: int, n_components: int,
+                         lanes: int = 512, syms_per_iter: int = 2,
+                         init_bitpos: jax.Array | None = None,
+                         init_dc: jax.Array | None = None,
+                         interpret: bool = False) -> jax.Array:
+    """Lanes-major kernel fed straight from the flat destuffed buffer —
+    the lane materialization itself is word-granular: the dense buffer is
+    converted once to stride-16 32-bit windows (vector ops, no gather),
+    and each lane gathers 16-byte ROWS of four windows from an 8-byte-
+    aligned base. An XLA gather costs ~8-11 ns per gathered ELEMENT
+    regardless of its width, so rows of 4 int32 are ~8x cheaper than the
+    per-byte (S, L) lane gather they replace. The ≤7 bytes of alignment
+    slack ride the kernel's per-lane initial bit cursor (the same hook
+    the indexed foreign-stream decode uses); bytes past each segment's
+    end are masked to zero at word granularity to keep the reader's
+    zero-past-EOF semantics (bitstream_reader.ml).
+
+    ``L`` is the static lane-length bucket (≥ lens.max() + 4 as for
+    decode_segments_pallas_t); the wrapper widens it internally by the
+    8-byte slack. ``flat`` must be zero-padded to a multiple of 8 with
+    ≥ 8 spare bytes."""
+    S = starts.shape[0]
+    B = blocks_per_segment
+    NW = max((L + 8 - 2) // 2, 1)
+    NWr = -(-NW // 4)
+    M = flat.shape[0]
+    f = jnp.concatenate([flat, jnp.zeros(8, flat.dtype)]).astype(jnp.uint32)
+    M2 = M // 2
+    w = ((f[0:2 * M2:2] << 24) | (f[1:2 * M2:2] << 16)
+         | (f[2:2 * M2 + 2:2] << 8) | f[3:2 * M2 + 3:2])
+    rows = jax.lax.bitcast_convert_type(w, jnp.int32).reshape(-1, 4)
+    slack = starts & 7
+    a_rows = starts >> 3
+    ridx = jnp.clip(a_rows[:, None] + jnp.arange(NWr, dtype=starts.dtype),
+                    0, rows.shape[0] - 1)
+    wl = jnp.take(rows, ridx, axis=0).reshape(S, NWr * 4)[:, :NW]
+    # zero-past-EOF at word granularity: word j covers lane-local bytes
+    # [2j, 2j+4); keep the top t = clip(slack+len - 2j, 0, 4) bytes
+    lens_eff = lens + slack
+    j2 = 2 * jnp.arange(NW, dtype=jnp.int32)[None, :]
+    t = jnp.clip(lens_eff[:, None] - j2, 0, 4).astype(jnp.uint32)
+    umask = jnp.where(
+        t > 0,
+        jnp.uint32(0xFFFFFFFF) << ((jnp.uint32(4) - t) * 8),
+        jnp.uint32(0))
+    wl = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(wl, jnp.uint32) & umask, jnp.int32)
+    bp0 = 8 * slack.astype(jnp.int32)
+    if init_bitpos is not None:
+        bp0 = bp0 + init_bitpos.astype(jnp.int32)
+    return _run_kernel_t(wl.T, S, seg_blocks, comp_sched, lo, hi, offset,
+                         values, blocks_per_segment=B,
+                         n_components=n_components, lanes=lanes,
+                         syms_per_iter=syms_per_iter, init_bitpos=bp0,
+                         init_dc=init_dc, interpret=interpret)
+
+
+def _run_kernel_t(words: jax.Array, S: int, seg_blocks: jax.Array,
+                  comp_sched: jax.Array, lo: jax.Array, hi: jax.Array,
+                  offset: jax.Array, values: jax.Array, *,
+                  blocks_per_segment: int, n_components: int, lanes: int,
+                  syms_per_iter: int, init_bitpos, init_dc,
+                  interpret: bool) -> jax.Array:
+    """Pad + grid + pallas_call tail shared by the (S, L) byte-lane and
+    flat word-row entries. ``words`` is (NW, S) int32."""
+    NW = words.shape[0]
+    B = blocks_per_segment
+    T = lo.shape[0]
     LANES = min(lanes, max(128, -(-S // 128) * 128))
     Sp = -(-S // LANES) * LANES
     NWp = -(-NW // 8) * 8
