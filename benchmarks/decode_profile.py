@@ -8,6 +8,7 @@ decode_device_e2e's wall time goes.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -22,10 +23,16 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--quality", type=int, default=75)
+    p.add_argument("--resolution", default="1920x1080")
     p.add_argument("--kernel-only", action="store_true",
                    help="measure just the entropy kernel (skips the fused "
                         "device-graph stages; used by bench.py to report "
                         "the speed-of-light detail field cheaply)")
+    p.add_argument("--flat", action="store_true",
+                   help="profile the flat-upload path stage by stage "
+                        "(destuff_flat, host prep, upload, byte-lane vs "
+                        "word-row materialization, kernel, full e2e) — "
+                        "the ladder VERDICT r3 item 2 asks for")
     args = p.parse_args(argv)
 
     import jax
@@ -40,7 +47,7 @@ def main(argv=None) -> int:
     from video_coding_tpu.model.encoder import Parameters
     from video_coding_tpu.runtime import engine as eng
 
-    W, H = 1920, 1080
+    W, H = (int(x) for x in args.resolution.split("x"))
     mpix = W * H * 1.5 / 1e6
     platform = jax.devices()[0].platform
     mouse = decode_a_frame(
@@ -70,6 +77,9 @@ def main(argv=None) -> int:
         jax.block_until_ready(r) if hasattr(r, "block_until_ready") or \
             isinstance(r, (tuple, list)) else None
         return (time.perf_counter() - t0) / n * 1e3, r
+
+    if args.flat:
+        return profile_flat(args, sess, payload, mpix, platform, t)
 
     # stage 1: host destuff (C++)
     ms_destuff, segments = t(lambda: entropy_scan.destuff_segments(payload))
@@ -125,6 +135,72 @@ def main(argv=None) -> int:
                     "ms_e2e": round(ms_e2e, 2),
                     "mpix_s_e2e": round(mpix / (ms_e2e / 1e3), 1)})
     print(json.dumps(out), flush=True)
+    return 0
+
+
+def profile_flat(args, sess, payload, mpix, platform, t):
+    """Stage ladder for the flat-upload fused decode (the bench path):
+    host destuff, host lane prep, upload, byte-lane vs word-row
+    materialization, kernel from each, and the full e2e graph."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_coding_tpu.entropy import pallas_decode, scan as entropy_scan
+    from video_coding_tpu.entropy import tpu_decode
+
+    ms_destuff, (flat, lens64) = t(
+        lambda: entropy_scan.destuff_flat(payload))
+    seg_blocks = sess._expected_seg_blocks(len(lens64))
+    ms_prep, (flat_p, starts, lens, segb, inv_perm, L, M) = t(
+        lambda: sess._flat_lane_inputs(flat, lens64, seg_blocks))
+    S = len(lens)
+    B = sess.blocks_per_segment
+    ms_up, dev = t(lambda: jax.block_until_ready(tuple(map(
+        jnp.asarray, (flat_p, starts, lens, segb, inv_perm)))))
+    dflat, dstarts, dlens, dsegb, dinv = dev
+
+    interp = jax.default_backend() == "cpu"
+    # lane materialization alone: byte gather vs word-row gather
+    byte_gather = jax.jit(lambda f, s, ln: sess._gather_lanes(f, s, ln, L))
+    ms_bytes, _ = t(lambda: jax.block_until_ready(
+        byte_gather(dflat, dstarts, dlens)))
+    word_gather = jax.jit(functools.partial(
+        pallas_decode.flat_word_rows, L=L))
+    ms_words, _ = t(lambda: jax.block_until_ready(
+        word_gather(dflat, dstarts, dlens)))
+
+    # materialization + kernel
+    lut_args = tuple(map(jnp.asarray, tpu_decode.range_tables(sess.tables)))
+    sched = jnp.asarray(sess.comp_idx[:B])
+    lanes = pallas_decode.max_lanes_t(L + 8, B)
+    kfn = jax.jit(lambda f, s, ln, sb: pallas_decode.decode_flat_pallas_t(
+        f, s, ln, sb, sched, *lut_args, L=L, blocks_per_segment=B,
+        n_components=len(sess.components), lanes=min(max(lanes, 128), 512),
+        interpret=interp))
+    ms_kernel, _ = t(lambda: jax.block_until_ready(
+        kfn(dflat, dstarts, dlens, dsegb)))
+
+    # full fused graph from resident arrays, and end to end
+    fn = sess._device_e2e_flat_jit(L, M)
+    ms_graph, _ = t(lambda: jax.block_until_ready(
+        fn(dflat, dstarts, dlens, dsegb, dinv)))
+    ms_e2e, _ = t(lambda: jax.block_until_ready(
+        sess.decode_device_e2e(payload)))
+
+    print(_json.dumps({
+        "bench": "decode_profile_flat", "platform": platform, "S": S,
+        "L": L, "M": M,
+        "ms_destuff_flat": round(ms_destuff, 2),
+        "ms_host_prep": round(ms_prep, 2),
+        "ms_upload": round(ms_up, 2),
+        "ms_byte_lane_gather": round(ms_bytes, 2),
+        "ms_word_row_gather": round(ms_words, 2),
+        "ms_words_plus_kernel": round(ms_kernel, 2),
+        "ms_device_graph": round(ms_graph, 2),
+        "ms_e2e": round(ms_e2e, 2),
+        "mpix_s_e2e": round(mpix / (ms_e2e / 1e3), 1)}), flush=True)
     return 0
 
 

@@ -530,6 +530,23 @@ def decode_flat_pallas_t(flat: jax.Array, starts: jax.Array,
     ≥ 8 spare bytes."""
     S = starts.shape[0]
     B = blocks_per_segment
+    wl, bp0 = flat_word_rows(flat, starts, lens, L)
+    if init_bitpos is not None:
+        bp0 = bp0 + init_bitpos.astype(jnp.int32)
+    return _run_kernel_t(wl.T, S, seg_blocks, comp_sched, lo, hi, offset,
+                         values, blocks_per_segment=B,
+                         n_components=n_components, lanes=lanes,
+                         syms_per_iter=syms_per_iter, init_bitpos=bp0,
+                         init_dc=init_dc, interpret=interpret)
+
+
+def flat_word_rows(flat: jax.Array, starts: jax.Array, lens: jax.Array,
+                   L: int) -> tuple[jax.Array, jax.Array]:
+    """Traceable lane materialization for decode_flat_pallas_t: (S, NW)
+    int32 stride-16 windows gathered as 16-byte rows from 8-byte-aligned
+    bases, plus the (S,) initial bit cursor covering the alignment
+    slack."""
+    S = starts.shape[0]
     NW = max((L + 8 - 2) // 2, 1)
     NWr = -(-NW // 4)
     M = flat.shape[0]
@@ -554,14 +571,7 @@ def decode_flat_pallas_t(flat: jax.Array, starts: jax.Array,
         jnp.uint32(0))
     wl = jax.lax.bitcast_convert_type(
         jax.lax.bitcast_convert_type(wl, jnp.uint32) & umask, jnp.int32)
-    bp0 = 8 * slack.astype(jnp.int32)
-    if init_bitpos is not None:
-        bp0 = bp0 + init_bitpos.astype(jnp.int32)
-    return _run_kernel_t(wl.T, S, seg_blocks, comp_sched, lo, hi, offset,
-                         values, blocks_per_segment=B,
-                         n_components=n_components, lanes=lanes,
-                         syms_per_iter=syms_per_iter, init_bitpos=bp0,
-                         init_dc=init_dc, interpret=interpret)
+    return wl, 8 * slack.astype(jnp.int32)
 
 
 def _run_kernel_t(words: jax.Array, S: int, seg_blocks: jax.Array,
