@@ -229,12 +229,15 @@ def _kernel(c_hi_ref, c_lo_ref, c_len_ref, ncomp_ref, out_ref, lens_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m_raw", "m_out", "lane_chunk", "interpret"))
+    static_argnames=("m_raw", "m_out", "lane_chunk", "interpret",
+                     "raw_words"))
 def pack_stuff_pallas(c_hi, c_lo, c_len, raw_bytes_len,
                       *, m_raw: int, m_out: int, lane_chunk: int = 512,
-                      interpret: bool = False):
+                      interpret: bool = False, raw_words: bool = False):
     """Symbol slots → stuffed wire bytes. Returns (out (S, m_out) uint8,
-    out_lens (S,), overflow).
+    out_lens (S,), overflow); with raw_words=True ``out`` is instead the
+    kernel's word-packed grid (S, ceil(m_out/4)+1) int32 for
+    assemble_stream_device_packed — no byte unpack.
 
     Bit-identical to _pack_gather + _stuff_gather. Unlike the XLA packer
     the kernel does NOT need compacted slots: a zero-length slot is a
@@ -290,6 +293,8 @@ def pack_stuff_pallas(c_hi, c_lo, c_len, raw_bytes_len,
     )(c_hi, c_lo, c_len, ncomp)
     out_lens = lens[0, :S]
     overflow = overflow | jnp.any(out_lens > m_out)
+    if raw_words:
+        return out.T[:S, :(m_out + 3) // 4 + 1], out_lens, overflow
     return (_unpack_words(out, S, m_out), out_lens, overflow)
 
 
@@ -471,11 +476,12 @@ def _fsm_kernel(coefs_ref, valid_ref, dctab_ref, actab_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("comp_sched", "m_out", "lane_chunk", "unroll",
-                     "interpret"))
+                     "interpret", "raw_words"))
 def encode_segments_fused(qc_seg, valid_seg, dctab, actab, *,
                           comp_sched: tuple, m_out: int,
                           lane_chunk: int = 512, unroll: int = 1,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          raw_words: bool = False):
     """Fused per-segment entropy encode: (S, B·64) int32 coefficients →
     (out (S, m_out) uint8, out_lens (S,), overflow). The whole RLE +
     Huffman + pack + stuff chain runs in _fsm_kernel."""
@@ -514,6 +520,8 @@ def encode_segments_fused(qc_seg, valid_seg, dctab, actab, *,
     )(coefs, valid, dctab, actab)
     out_lens = lens[0, :S]
     overflow = jnp.any(out_lens > m_out)
+    if raw_words:
+        return out.T[:S, :(m_out + 3) // 4 + 1], out_lens, overflow
     return (_unpack_words(out, S, m_out), out_lens, overflow)
 
 
@@ -522,7 +530,8 @@ def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
                            blocks_per_segment: int, max_seg_bytes: int,
                            valid=None, lane_chunk: int = 512,
                            interpret: bool | None = None,
-                           comp_sched_static: tuple | None = None):
+                           comp_sched_static: tuple | None = None,
+                           raw_words: bool = False):
     """Drop-in alternative to tpu_encode.encode_segments_device with the
     entropy coding in a Pallas kernel. Same contract: returns
     (bytes (S, M) uint8, seg_byte_lens (S,), overflow).
@@ -564,7 +573,7 @@ def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
         return encode_segments_fused(
             qcoefs.reshape(S, B * 64), valid_seg, dctab, actab,
             comp_sched=sched, m_out=m_out, lane_chunk=lane_chunk,
-            interpret=interpret)
+            interpret=interpret, raw_words=raw_words)
 
     sym_hi, sym_lo, sym_len = _symbol_parts(
         qcoefs, comp_idx, prev_same_comp, dc_bits, dc_len, ac_bits, ac_len,
@@ -585,4 +594,4 @@ def encode_segments_pallas(qcoefs, comp_idx, prev_same_comp, dc_bits,
     return pack_stuff_pallas(
         c_hi, c_lo, c_len, raw_bytes_len,
         m_raw=max_seg_bytes, m_out=m_out, lane_chunk=lane_chunk,
-        interpret=interpret)
+        interpret=interpret, raw_words=raw_words)

@@ -497,6 +497,64 @@ def assemble_stream_device(out, lens, *, cap: int):
     return buf.astype(jnp.uint8), total
 
 
+def pack_byte_words(out_bytes):
+    """(S, M) uint8 segment bytes → (S, ceil(M/4)) int32 little-endian
+    words, pure elementwise + reshape — adapts the XLA packer's byte
+    output to assemble_stream_device_packed."""
+    S, M = out_bytes.shape
+    Mp = -(-M // 4) * 4
+    b = jnp.pad(out_bytes.astype(jnp.int32), ((0, 0), (0, Mp - M)))
+    b = b.reshape(S, Mp // 4, 4)
+    return (b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16)
+            | (b[:, :, 3] << 24))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def assemble_stream_device_packed(out_w, lens, *, cap: int):
+    """assemble_stream_device fed the packers' WORD-PACKED output
+    directly — (S, W4) int32, 4 little-endian bytes per word — skipping
+    the byte unpack + byte re-pack round trip entirely. Re-alignment to
+    each segment's wire word offset is one shift-combine of adjacent
+    source words (pure elementwise); the scatter and RSTn markers are
+    identical to the byte form. Returns ((cap,) uint8, total)."""
+    S, W4 = out_w.shape
+    gidx = jnp.arange(S)
+    offsets = jnp.cumsum(lens) - lens + 2 * gidx
+    total = offsets[-1] + lens[-1]
+
+    capw = cap // 4 + 2
+    mpos = jnp.where(gidx > 0, offsets - 2, cap)
+    marks = jnp.stack([jnp.full((S,), 0xFF, jnp.int32),
+                       0xD0 + ((gidx - 1) & 7)], axis=1)
+    mdst = mpos[:, None] + jnp.arange(2)[None, :]
+    mword = jnp.minimum(mdst >> 2, capw - 1)
+    mval = marks << ((mdst & 3) * 8)
+    bufw = jnp.zeros((capw,), jnp.int32).at[
+        jnp.where(mpos[:, None] < cap, mword, capw).reshape(-1)].add(
+        mval.reshape(-1), mode="drop")
+
+    # aligned wire word u of a segment with in-word shift sh = offset&3:
+    # (src[u] << 8·sh) | (src[u-1] >>> 8·(4-sh)); bytes past the
+    # segment's length are zero in the packers' grids, so adjacent
+    # segments' adds compose exactly
+    T = W4 + 1
+    sh8 = ((offsets & 3) * 8).astype(jnp.int32)[:, None]
+    srcp = jnp.pad(out_w, ((0, 0), (1, 1)))        # src[-1] = src[W4] = 0
+    lo = jax.lax.shift_left(srcp[:, 1:], sh8)
+    hi = jax.lax.shift_right_logical(srcp[:, :-1],
+                                     jnp.clip(32 - sh8, 0, 31))
+    aligned = jnp.where(sh8 == 0, srcp[:, 1:], lo | hi)
+    wdst = (offsets >> 2)[:, None] + jnp.arange(T)[None, :]
+    valid = (jnp.arange(T)[None, :] * 4
+             < lens[:, None] + (offsets[:, None] & 3))
+    bufw = bufw.at[jnp.where(valid, wdst, capw).reshape(-1)].add(
+        aligned.reshape(-1), mode="drop")
+
+    shifts = jnp.arange(4, dtype=jnp.int32) * 8
+    buf = ((bufw[:, None] >> shifts[None, :]) & 0xFF).reshape(-1)[:cap]
+    return buf.astype(jnp.uint8), total
+
+
 def encode_scan_tpu(qcoefs: np.ndarray, comp_idx: np.ndarray,
                     blocks_per_segment: int,
                     tables: EncoderTables) -> list[bytes]:

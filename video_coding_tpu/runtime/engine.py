@@ -1567,7 +1567,7 @@ class JpegEncoderSession:
             from ..entropy import pallas_encode
 
             def fn(qcoefs, comp, prev, *tabs, blocks_per_segment,
-                   max_seg_bytes, valid=None):
+                   max_seg_bytes, valid=None, raw_words=False):
                 S = qcoefs.shape[0] // blocks_per_segment
                 ch = pallas_encode.max_lane_chunk(blocks_per_segment,
                                                   max_seg_bytes)
@@ -1577,11 +1577,15 @@ class JpegEncoderSession:
                         blocks_per_segment=blocks_per_segment,
                         max_seg_bytes=max_seg_bytes, valid=valid,
                         lane_chunk=ch, interpret=False,
-                        comp_sched_static=sched_static)
-                return tpu_encode.encode_segments_device(
+                        comp_sched_static=sched_static,
+                        raw_words=raw_words)
+                out, lens, ovf = tpu_encode.encode_segments_device(
                     qcoefs, comp, prev, *tabs,
                     blocks_per_segment=blocks_per_segment,
                     max_seg_bytes=max_seg_bytes, valid=valid)
+                if raw_words:
+                    out = tpu_encode.pack_byte_words(out)
+                return out, lens, ovf
 
             return fn
         if self.device_pack == "pallas":
@@ -1591,7 +1595,18 @@ class JpegEncoderSession:
                 encode_segments_pallas,
                 interpret=jax.default_backend() == "cpu",
                 comp_sched_static=sched_static)
-        return tpu_encode.encode_segments_device
+
+        def fn_xla(qcoefs, comp, prev, *tabs, blocks_per_segment,
+                   max_seg_bytes, valid=None, raw_words=False):
+            out, lens, ovf = tpu_encode.encode_segments_device(
+                qcoefs, comp, prev, *tabs,
+                blocks_per_segment=blocks_per_segment,
+                max_seg_bytes=max_seg_bytes, valid=valid)
+            if raw_words:
+                out = tpu_encode.pack_byte_words(out)
+            return out, lens, ovf
+
+        return fn_xla
 
     def _build_device_e2e_enc_jit(self, max_seg_bytes: int):
         from ..entropy import tpu_encode
@@ -1636,15 +1651,18 @@ class JpegEncoderSession:
             def run(qc_seg, valid_seg, sched, prev, *tabs):
                 s_total = qc_seg.shape[0]
                 comp = jnp.tile(sched, s_total)
+                # word-packed end to end: the packers hand their int32
+                # word grids straight to the word-form assembly — no
+                # byte unpack + re-pack round trip between them
                 out, lens, ovf = encode_segments(
                     qc_seg.reshape(-1, 64), comp, prev, *tabs,
                     blocks_per_segment=B, max_seg_bytes=max_seg_bytes,
-                    valid=valid_seg.reshape(-1))
+                    valid=valid_seg.reshape(-1), raw_words=True)
                 out_f = out.reshape(F, sp, -1)
                 lens_f = lens.reshape(F, sp)
 
                 def one(o, l):
-                    return tpu_encode.assemble_stream_device(
+                    return tpu_encode.assemble_stream_device_packed(
                         o[:n_seg], l[:n_seg], cap=cap)
 
                 bufs, totals = jax.vmap(one)(out_f, lens_f)
