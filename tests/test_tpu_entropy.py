@@ -264,3 +264,32 @@ def test_assemble_stream_device_matches_naive_join():
             ref += bytes((0xFF, 0xD0 + ((s - 1) & 7)))
         ref += out[s, :lens[s]].tobytes()
     assert got == bytes(ref)
+
+
+def test_assemble_stream_device_packed_matches_byte_form():
+    """The packed-input assembly (int32 word grids straight from the
+    kernels, shift-combined to wire alignment) is byte-identical to the
+    byte-form assembly and to the naive join, across every offset
+    alignment (lens chosen to hit all four sh values), 0xFF content and
+    a trailing spill word."""
+    import jax.numpy as jnp
+
+    from video_coding_tpu.entropy.tpu_encode import (
+        assemble_stream_device, assemble_stream_device_packed,
+        pack_byte_words)
+
+    rng = np.random.default_rng(9)
+    S, M = 41, 23
+    out = np.zeros((S, M), np.uint8)
+    lens = rng.integers(1, M + 1, size=S).astype(np.int32)
+    for s_ in range(S):
+        out[s_, :lens[s_]] = rng.integers(0, 256, lens[s_])
+    out[5, :lens[5]] = 0xFF
+    cap = int(lens.sum() + 2 * S + 16)
+    ref, ref_total = assemble_stream_device(jnp.asarray(out),
+                                            jnp.asarray(lens), cap=cap)
+    words = pack_byte_words(jnp.asarray(out))
+    got, total = assemble_stream_device_packed(words, jnp.asarray(lens),
+                                               cap=cap)
+    assert int(total) == int(ref_total)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
