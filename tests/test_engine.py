@@ -226,6 +226,7 @@ def test_auto_pallas_fail_soft_decode(mini64_frames, monkeypatch):
     monkeypatch.setattr(pallas_decode, "decode_segments_pallas", boom)
     monkeypatch.setattr(pallas_decode, "decode_segments_pallas_t", boom)
     monkeypatch.setattr(pallas_decode, "decode_flat_pallas_t", boom)
+    monkeypatch.setattr(pallas_decode, "decode_flat_pallas_dma", boom)
     monkeypatch.setattr(JpegDecoderSession, "_pallas_eligible",
                         lambda self, ch, S: not getattr(
                             self, "_pallas_disabled", False))

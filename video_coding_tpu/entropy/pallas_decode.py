@@ -327,19 +327,27 @@ def _kernel_t(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
               values_ref, bp0_ref, dc0_ref, out_ref, *, blocks: int,
               n_components: int, n_tables: int, max_iters: int,
               syms_per_iter: int):
-    NW = words_ref.shape[0]
-    LANES = words_ref.shape[1]
+    _symbol_loop_t(words_ref[:], segblk_ref[:], sched_ref[:],
+                   lo_ref[:], hi_ref[:], off_ref[:], values_ref[:],
+                   bp0_ref[:], dc0_ref[:], out_ref, blocks=blocks,
+                   n_components=n_components, n_tables=n_tables,
+                   max_iters=max_iters, syms_per_iter=syms_per_iter)
+
+
+def _symbol_loop_t(words, seg_blocks, sched, lo_v, hi_v, off_v, values,
+                   bp0, dc0, out_ref, *, blocks: int, n_components: int,
+                   n_tables: int, max_iters: int, syms_per_iter: int):
+    """Shared lanes-major symbol loop: operands as VALUES so both the
+    VMEM-input kernel (_kernel_t) and the DMA-gather kernel
+    (_kernel_t_dma) drive it."""
+    NW = words.shape[0]
+    LANES = words.shape[1]
     B = blocks
-    Bp = sched_ref.shape[0]
+    Bp = sched.shape[0]
     C = n_components
     T = n_tables
-    V4 = values_ref.shape[0]
+    V4 = values.shape[0]
     W64 = B * 64
-
-    words = words_ref[:]                       # (NW, LANES) int32 windows
-    seg_blocks = segblk_ref[:]                 # (1, LANES)
-    sched = sched_ref[:]                       # (Bp, 1)
-    values = values_ref[:]                     # (V4, 1) packed 4x uint8
     nw_rows = jax.lax.broadcasted_iota(jnp.int32, (NW, LANES), 0)
     b_rows = jax.lax.broadcasted_iota(jnp.int32, (Bp, LANES), 0)
     v_rows = jax.lax.broadcasted_iota(jnp.int32, (V4, LANES), 0)
@@ -362,9 +370,9 @@ def _kernel_t(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
         off_s = jnp.zeros((16, LANES), jnp.int32)
         for tt in range(T):
             m = t == tt
-            lo_s = jnp.where(m, lo_ref[:, tt:tt + 1], lo_s)
-            hi_s = jnp.where(m, hi_ref[:, tt:tt + 1], hi_s)
-            off_s = jnp.where(m, off_ref[:, tt:tt + 1], off_s)
+            lo_s = jnp.where(m, lo_v[:, tt:tt + 1], lo_s)
+            hi_s = jnp.where(m, hi_v[:, tt:tt + 1], hi_s)
+            off_s = jnp.where(m, off_v[:, tt:tt + 1], off_s)
         return lo_s, hi_s, off_s
 
     def lookup(t, w16):
@@ -455,11 +463,11 @@ def _kernel_t(words_ref, segblk_ref, sched_ref, lo_ref, hi_ref, off_ref,
     zl = jnp.zeros((1, LANES), jnp.int32)
     init = (
         jnp.zeros((), jnp.int32),
-        bp0_ref[:],                            # bitpos (per-lane init)
+        bp0,                                   # bitpos (per-lane init)
         zl,                                    # blk
         zl,                                    # cof
         zl,                                    # in_ac (0/1 int32)
-        dc0_ref[:],                            # dc_pred (per-lane init)
+        dc0,                                   # dc_pred (per-lane init)
         jnp.zeros((W64 // 2, LANES), jnp.int32),  # int16-packed coefs
     )
     final = jax.lax.while_loop(cond, body, init)
@@ -544,6 +552,165 @@ def decode_flat_pallas_t(flat: jax.Array, starts: jax.Array,
                          n_components=n_components, lanes=lanes,
                          syms_per_iter=syms_per_iter, init_bitpos=bp0,
                          init_dc=init_dc, interpret=interpret)
+
+
+def _kernel_t_dma(row0_ref, segblk_ref, sched_ref, lo_ref, hi_ref,
+                  off_ref, values_ref, bp0_ref, lens_ref, dc0_ref,
+                  wrows_ref, out_ref, scratch_ref, sems, *, blocks: int,
+                  n_components: int, n_tables: int, max_iters: int,
+                  syms_per_iter: int, nwr: int, nw: int, lanes: int,
+                  n_sems: int):
+    """DMA-gather variant of _kernel_t: the per-lane byte windows are
+    fetched from the HBM-resident dense word-row array by the kernel's
+    own DMAs (one sliced copy per lane, issued asynchronously in waves)
+    instead of an XLA gather — measured ~27-30 ms of device time per
+    1080p frame for EITHER XLA gather granularity (BENCH_NOTES round 4),
+    vs microseconds-per-lane DMA issue cost here.
+
+    wrows: (MR, 8) int32 — dense stride-16 windows of the whole flat
+    buffer, 8 words (16 stream bytes) per row. row0 (scalar-prefetched):
+    each lane's first row; the ≤15-byte row-alignment slack is already
+    folded into bp0 and lens by the caller. scratch: (LANES, nwr, 8)
+    VMEM landing pad; the lane-major landing rows transpose in-register
+    to the words-major (NW, LANES) layout the symbol loop wants."""
+    i = pl.program_id(0)
+    base = i * lanes
+
+    def issue(lane, _):
+        pltpu.make_async_copy(
+            wrows_ref.at[pl.ds(row0_ref[base + lane], nwr)],
+            scratch_ref.at[lane],
+            sems.at[lane % n_sems]).start()
+        return 0
+
+    jax.lax.fori_loop(0, lanes, issue, 0)
+
+    def wait(lane, _):
+        pltpu.make_async_copy(
+            wrows_ref.at[pl.ds(row0_ref[base + lane], nwr)],
+            scratch_ref.at[lane],
+            sems.at[lane % n_sems]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, lanes, wait, 0)
+
+    lane_rows = scratch_ref[:].reshape(lanes, nwr * 8)[:, :nw]
+    words = lane_rows.T  # (NW, LANES)
+    # zero-past-EOF at word granularity: word j covers lane-local bytes
+    # [2j, 2j+4); keep the top t = clip(len_eff - 2j, 0, 4) bytes
+    lens_eff = lens_ref[:]                      # (1, LANES), slack folded
+    j2 = 2 * jax.lax.broadcasted_iota(jnp.int32, (nw, lanes), 0)
+    t = jnp.clip(lens_eff - j2, 0, 4)
+    mask = jnp.where(t > 0,
+                     jax.lax.shift_left(jnp.int32(-1), (4 - t) * 8), 0)
+    words = words & mask
+    _symbol_loop_t(words, segblk_ref[:], sched_ref[:], lo_ref[:],
+                   hi_ref[:], off_ref[:], values_ref[:], bp0_ref[:],
+                   dc0_ref[:], out_ref, blocks=blocks,
+                   n_components=n_components, n_tables=n_tables,
+                   max_iters=max_iters, syms_per_iter=syms_per_iter)
+
+
+def decode_flat_pallas_dma(flat: jax.Array, starts: jax.Array,
+                           lens: jax.Array, seg_blocks: jax.Array,
+                           comp_sched: jax.Array, lo: jax.Array,
+                           hi: jax.Array, offset: jax.Array,
+                           values: jax.Array, *, L: int,
+                           blocks_per_segment: int, n_components: int,
+                           lanes: int = 512, syms_per_iter: int = 2,
+                           init_bitpos: jax.Array | None = None,
+                           init_dc: jax.Array | None = None,
+                           interpret: bool = False) -> jax.Array:
+    """Lanes-major decode fed by in-kernel DMA gathers from the flat
+    destuffed buffer (see _kernel_t_dma). Same result contract as
+    decode_segments_pallas_t / decode_flat_pallas_t. ``flat`` must be
+    zero-padded to a power-of-two length ≥ len+8 (the engine's flat
+    buffers are)."""
+    S = starts.shape[0]
+    B = blocks_per_segment
+    T = lo.shape[0]
+    # 16-byte row granule: slack ≤ 15 bytes rides the bit cursor
+    NW = max((L + 16 + 8 - 2) // 2, 1)
+    NWR = -(-NW // 8) + 1
+    M = flat.shape[0]
+    f = jnp.concatenate([flat, jnp.zeros(16, flat.dtype)]).astype(jnp.uint32)
+    M2 = M // 2
+    w = ((f[0:2 * M2:2] << 24) | (f[1:2 * M2:2] << 16)
+         | (f[2:2 * M2 + 2:2] << 8) | f[3:2 * M2 + 3:2])
+    wrows = jax.lax.bitcast_convert_type(w, jnp.int32).reshape(-1, 8)
+    wrows = jnp.pad(wrows, ((0, NWR), (0, 0)))  # row0+NWR always in range
+    slack = starts & 15
+    row0 = starts >> 4
+    bp0 = 8 * slack.astype(jnp.int32)
+    if init_bitpos is not None:
+        bp0 = bp0 + init_bitpos.astype(jnp.int32)
+    lens_eff = lens.astype(jnp.int32) + slack.astype(jnp.int32)
+    if init_dc is None:
+        init_dc = jnp.zeros((S, n_components), jnp.int32)
+
+    LANES = min(lanes, max(128, -(-S // 128) * 128))
+    Sp = -(-S // LANES) * LANES
+    pad = Sp - S
+    row0 = jnp.pad(row0.astype(jnp.int32), (0, pad))
+    segb = jnp.pad(seg_blocks.astype(jnp.int32), (0, pad))[None, :]
+    bp0 = jnp.pad(bp0, (0, pad))[None, :]
+    lens_p = jnp.pad(lens_eff, (0, pad))[None, :]
+    dc0 = jnp.pad(init_dc.astype(jnp.int32), ((0, pad), (0, 0))).T
+    Bp = -(-B // 8) * 8
+    sched = jnp.pad(comp_sched.astype(jnp.int32), (0, Bp - B))[:, None]
+    vals = values.astype(jnp.int32).reshape(-1, 4)
+    packed = (vals[:, 0] | (vals[:, 1] << 8) | (vals[:, 2] << 16)
+              | (vals[:, 3] << 24))
+    V4 = packed.shape[0]
+    V4p = -(-V4 // 8) * 8
+    packed = jnp.pad(packed, (0, V4p - V4))[:, None]
+    lo_t = lo.astype(jnp.int32).T
+    hi_t = hi.astype(jnp.int32).T
+    off_t = offset.astype(jnp.int32).T
+
+    N_SEMS = 16
+    kern = functools.partial(
+        _kernel_t_dma, blocks=B, n_components=n_components, n_tables=T,
+        max_iters=(B * 65 + 64) // syms_per_iter + 2,
+        syms_per_iter=syms_per_iter, nwr=NWR, nw=NW, lanes=LANES,
+        n_sems=N_SEMS)
+    # index maps receive (grid_idx, *scalar_prefetch_refs)
+    col = lambda i, _r0: (0, i)  # noqa: E731
+    rep = lambda i, _r0: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Sp // LANES,),
+        in_specs=[
+            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V4p, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_components, LANES), col,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # wrows stays in HBM
+        ],
+        out_specs=pl.BlockSpec((B * 32, LANES), col,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((LANES, NWR, 8), jnp.int32),
+            pltpu.SemaphoreType.DMA((N_SEMS,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * 32, Sp), jnp.int32),
+        interpret=interpret,
+    )(row0, segb, sched, lo_t, hi_t, off_t, packed, bp0, lens_p, dc0,
+      wrows)
+    lo16 = (out << 16) >> 16
+    hi16 = out >> 16
+    full = jnp.stack([lo16, hi16], axis=1).reshape(B * 64, Sp)
+    return full[:, :S].T.reshape(S, B, 64)
 
 
 def flat_word_rows(flat: jax.Array, starts: jax.Array, lens: jax.Array,

@@ -837,10 +837,18 @@ class JpegDecoderSession:
         lut_args = tuple(map(jnp.asarray,
                              tpu_decode.range_tables(self.tables)))
         n_comp = len(self.components)
-        lanes = pallas_decode.max_lanes_t(L + 8, B)
+        lanes = pallas_decode.max_lanes_t(L + 24, B)
+        # in-kernel DMA gather by default (the XLA gather costs ~30 ms
+        # device time per 1080p frame in either granularity; BENCH_NOTES
+        # round 4); VCT_DECODE_GATHER=rows keeps the XLA word-row form
+        import os
+
+        kfn = (pallas_decode.decode_flat_pallas_t
+               if os.environ.get("VCT_DECODE_GATHER") == "rows"
+               else pallas_decode.decode_flat_pallas_dma)
 
         def run(flat, starts, lens, seg_blocks):
-            return pallas_decode.decode_flat_pallas_t(
+            return kfn(
                 flat, starts, lens, seg_blocks, comp_sched, *lut_args,
                 L=L, blocks_per_segment=B, n_components=n_comp,
                 lanes=min(lanes, 512),
@@ -1041,7 +1049,7 @@ class JpegDecoderSession:
         bp0, dc0, seg_blocks = bp0[order], dc0[order], seg_blocks[order]
         L = 1 << max(6, int(int(lens.max()) + 4 - 1).bit_length())
         from ..entropy import pallas_decode
-        if pallas_decode.max_lanes_t(L + 8, stride) == 0:
+        if pallas_decode.max_lanes_t(L + 24, stride) == 0:
             # per-lane kernel state would not fit VMEM even at the
             # minimum lane count — route back to the serial/flat tier
             # instead of launching an over-budget kernel (ADVICE r3)
@@ -1066,14 +1074,19 @@ class JpegDecoderSession:
         comp_sched = jnp.asarray(self.comp_idx[:stride])
         n_blocks = self.n_blocks
         R = (n_blocks + stride - 1) // stride
-        lanes = pallas_decode.max_lanes_t(L + 8, stride)
+        lanes = pallas_decode.max_lanes_t(L + 24, stride)
         if lanes == 0:  # dispatch guards this; keep the builder honest
             raise ValueError("indexed kernel state exceeds VMEM budget")
 
         pool_tail = stride <= n_blocks
+        import os
+
+        kfn = (pallas_decode.decode_flat_pallas_t
+               if os.environ.get("VCT_DECODE_GATHER") == "rows"
+               else pallas_decode.decode_flat_pallas_dma)
 
         def run(flat, starts, lens, seg_blocks, bp0, dc0, inv_perm):
-            coefs3 = pallas_decode.decode_flat_pallas_t(
+            coefs3 = kfn(
                 flat, starts, lens, seg_blocks, comp_sched, *lut_args,
                 L=L, blocks_per_segment=stride, n_components=n_comp,
                 init_bitpos=bp0, init_dc=dc0, lanes=min(lanes, 512),
