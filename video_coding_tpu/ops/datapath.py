@@ -49,12 +49,22 @@ COEF_MAX = 2047
 
 def _quant_round_half_away(fdct, q):
     """Quantize x4-scaled fDCT output, rounding half away from zero with
-    truncating division (model encoder.ml:98-101 semantics), in int32."""
+    truncating division (model encoder.ml:98-101 semantics), in int32.
+
+    The division is an f32 reciprocal-multiply with a one-step exact
+    floor correction — the device analog of the reference accelerator's
+    quantizer, which also replaces the divider with a reciprocal
+    multiply (SURVEY §2.3 'Quant'). Exact for this range: the dividend
+    is < 2^17 and the divisor < 2^11, so the correctly-rounded f32
+    quotient is within 2^-7 of the true ratio and truncation is off by
+    at most one, fixed by the two integer-multiply checks. A plain int32
+    `//` lowers to a long shift-subtract sequence on the TPU VPU."""
     q4 = q * 4
-    q2 = q * 2
-    mag = jnp.abs(fdct)
-    quot = (mag + q2) // q4
-    return jnp.where(fdct < 0, -quot, quot)
+    n = jnp.abs(fdct) + q * 2
+    t = (n.astype(jnp.float32) / q4.astype(jnp.float32)).astype(jnp.int32)
+    t = t - (t * q4 > n).astype(jnp.int32)
+    t = t + ((t + 1) * q4 <= n).astype(jnp.int32)
+    return jnp.where(fdct < 0, -t, t)
 
 
 # --------------------------------------------------------------------------
