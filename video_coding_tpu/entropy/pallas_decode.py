@@ -567,18 +567,21 @@ def _kernel_t_dma(row0_ref, segblk_ref, sched_ref, lo_ref, hi_ref,
     1080p frame for EITHER XLA gather granularity (BENCH_NOTES round 4),
     vs microseconds-per-lane DMA issue cost here.
 
-    wrows: (MR, 8) int32 — dense stride-16 windows of the whole flat
-    buffer, 8 words (16 stream bytes) per row. row0 (scalar-prefetched):
-    each lane's first row; the ≤15-byte row-alignment slack is already
-    folded into bp0 and lens by the caller. scratch: (LANES, nwr, 8)
-    VMEM landing pad; the lane-major landing rows transpose in-register
-    to the words-major (NW, LANES) layout the symbol loop wants."""
+    wrows: flat (MR·8,) int32 — dense stride-16 windows of the whole
+    buffer; a "row" is 8 consecutive words (16 stream bytes, the DMA
+    granule). row0 (scalar-prefetched): each lane's first row; the
+    ≤15-byte row-alignment slack is already folded into bp0 and lens by
+    the caller. scratch: (LANES, nwr·8) VMEM landing pad (one sublane
+    row per lane — 1-D src/dst slices keep Mosaic happy; a 3-D scratch
+    reshape fails infer-vector-layout); the lane-major landing rows
+    transpose in-register to the words-major (NW, LANES) layout the
+    symbol loop wants."""
     i = pl.program_id(0)
     base = i * lanes
 
     def issue(lane, _):
         pltpu.make_async_copy(
-            wrows_ref.at[pl.ds(row0_ref[base + lane], nwr)],
+            wrows_ref.at[pl.ds(row0_ref[base + lane] * 8, nwr * 8)],
             scratch_ref.at[lane],
             sems.at[lane % n_sems]).start()
         return 0
@@ -587,14 +590,14 @@ def _kernel_t_dma(row0_ref, segblk_ref, sched_ref, lo_ref, hi_ref,
 
     def wait(lane, _):
         pltpu.make_async_copy(
-            wrows_ref.at[pl.ds(row0_ref[base + lane], nwr)],
+            wrows_ref.at[pl.ds(row0_ref[base + lane] * 8, nwr * 8)],
             scratch_ref.at[lane],
             sems.at[lane % n_sems]).wait()
         return 0
 
     jax.lax.fori_loop(0, lanes, wait, 0)
 
-    lane_rows = scratch_ref[:].reshape(lanes, nwr * 8)[:, :nw]
+    lane_rows = scratch_ref[:][:, :nw]
     words = lane_rows.T  # (NW, LANES)
     # zero-past-EOF at word granularity: word j covers lane-local bytes
     # [2j, 2j+4); keep the top t = clip(len_eff - 2j, 0, 4) bytes
@@ -637,8 +640,8 @@ def decode_flat_pallas_dma(flat: jax.Array, starts: jax.Array,
     M2 = M // 2
     w = ((f[0:2 * M2:2] << 24) | (f[1:2 * M2:2] << 16)
          | (f[2:2 * M2 + 2:2] << 8) | f[3:2 * M2 + 3:2])
-    wrows = jax.lax.bitcast_convert_type(w, jnp.int32).reshape(-1, 8)
-    wrows = jnp.pad(wrows, ((0, NWR), (0, 0)))  # row0+NWR always in range
+    wrows = jax.lax.bitcast_convert_type(w, jnp.int32)
+    wrows = jnp.pad(wrows, (0, NWR * 8))  # row0+NWR always in range
     slack = starts & 15
     row0 = starts >> 4
     bp0 = 8 * slack.astype(jnp.int32)
@@ -696,7 +699,7 @@ def decode_flat_pallas_dma(flat: jax.Array, starts: jax.Array,
         out_specs=pl.BlockSpec((B * 32, LANES), col,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((LANES, NWR, 8), jnp.int32),
+            pltpu.VMEM((LANES, NWR * 8), jnp.int32),
             pltpu.SemaphoreType.DMA((N_SEMS,)),
         ],
     )
