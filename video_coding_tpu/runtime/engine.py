@@ -838,14 +838,17 @@ class JpegDecoderSession:
                              tpu_decode.range_tables(self.tables)))
         n_comp = len(self.components)
         lanes = pallas_decode.max_lanes_t(L + 24, B)
-        # in-kernel DMA gather by default (the XLA gather costs ~30 ms
-        # device time per 1080p frame in either granularity; BENCH_NOTES
-        # round 4); VCT_DECODE_GATHER=rows keeps the XLA word-row form
+        # XLA word-row gather by default: its true device time is
+        # ~4.8 ms/1080p (the single-call "30 ms" was relay dispatch
+        # noise), while the per-lane-DMA kernel measured ~55 ms — the
+        # ~3 us scalar-loop DMA issue cost times 16k lanes swamps the
+        # gather it replaces (BENCH_NOTES round 4). VCT_DECODE_GATHER=dma
+        # keeps the experiment reachable.
         import os
 
-        kfn = (pallas_decode.decode_flat_pallas_t
-               if os.environ.get("VCT_DECODE_GATHER") == "rows"
-               else pallas_decode.decode_flat_pallas_dma)
+        kfn = (pallas_decode.decode_flat_pallas_dma
+               if os.environ.get("VCT_DECODE_GATHER") == "dma"
+               else pallas_decode.decode_flat_pallas_t)
 
         def run(flat, starts, lens, seg_blocks):
             return kfn(
@@ -1081,9 +1084,9 @@ class JpegDecoderSession:
         pool_tail = stride <= n_blocks
         import os
 
-        kfn = (pallas_decode.decode_flat_pallas_t
-               if os.environ.get("VCT_DECODE_GATHER") == "rows"
-               else pallas_decode.decode_flat_pallas_dma)
+        kfn = (pallas_decode.decode_flat_pallas_dma
+               if os.environ.get("VCT_DECODE_GATHER") == "dma"
+               else pallas_decode.decode_flat_pallas_t)
 
         def run(flat, starts, lens, seg_blocks, bp0, dc0, inv_perm):
             coefs3 = kfn(
