@@ -20,6 +20,10 @@ VCT_TPU_TESTS=1 timeout 590 python -m pytest -m tpu -q || exit 1
 echo "== bench =="
 line=$(timeout 590 python bench.py) || exit 1
 echo "$line"
+case "$line" in
+  *'"platform": "tpu"'*) ;;
+  *) echo "bench ran on a fallback platform — gate NOT satisfied"; exit 1 ;;
+esac
 
 sha=$(git rev-parse --short HEAD)
 {
