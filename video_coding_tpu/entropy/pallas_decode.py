@@ -717,25 +717,31 @@ def decode_flat_pallas_dma(flat: jax.Array, starts: jax.Array,
 
 
 def flat_word_rows(flat: jax.Array, starts: jax.Array, lens: jax.Array,
-                   L: int) -> tuple[jax.Array, jax.Array]:
+                   L: int, granule: int = 32
+                   ) -> tuple[jax.Array, jax.Array]:
     """Traceable lane materialization for decode_flat_pallas_t: (S, NW)
-    int32 stride-16 windows gathered as 16-byte rows from 8-byte-aligned
-    bases, plus the (S,) initial bit cursor covering the alignment
-    slack."""
+    int32 stride-16 windows gathered as ``granule``-byte rows from
+    granule-aligned bases, plus the (S,) initial bit cursor covering the
+    alignment slack. The XLA row gather costs ~100 ns per gathered ROW
+    on the tunneled v5e regardless of width, so bigger granules mean
+    fewer rows (the alignment slack — up to granule-1 bytes — rides the
+    kernel's per-lane bit cursor; the over-fetched bytes are masked).
+    granule ∈ {8, 16, 32, 64}."""
     S = starts.shape[0]
-    NW = max((L + 8 - 2) // 2, 1)
-    NWr = -(-NW // 4)
+    R = granule // 2                 # stride-16 words per row
+    NW = max((L + granule + 8 - 2) // 2, 1)
+    NWr = -(-NW // R) + 1
     M = flat.shape[0]
     f = jnp.concatenate([flat, jnp.zeros(8, flat.dtype)]).astype(jnp.uint32)
     M2 = M // 2
     w = ((f[0:2 * M2:2] << 24) | (f[1:2 * M2:2] << 16)
          | (f[2:2 * M2 + 2:2] << 8) | f[3:2 * M2 + 3:2])
-    rows = jax.lax.bitcast_convert_type(w, jnp.int32).reshape(-1, 4)
-    slack = starts & 7
-    a_rows = starts >> 3
+    rows = jax.lax.bitcast_convert_type(w, jnp.int32).reshape(-1, R)
+    slack = starts % granule
+    a_rows = starts // granule
     ridx = jnp.clip(a_rows[:, None] + jnp.arange(NWr, dtype=starts.dtype),
                     0, rows.shape[0] - 1)
-    wl = jnp.take(rows, ridx, axis=0).reshape(S, NWr * 4)[:, :NW]
+    wl = jnp.take(rows, ridx, axis=0).reshape(S, NWr * R)[:, :NW]
     # zero-past-EOF at word granularity: word j covers lane-local bytes
     # [2j, 2j+4); keep the top t = clip(slack+len - 2j, 0, 4) bytes
     lens_eff = lens + slack

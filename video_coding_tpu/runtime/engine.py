@@ -837,7 +837,7 @@ class JpegDecoderSession:
         lut_args = tuple(map(jnp.asarray,
                              tpu_decode.range_tables(self.tables)))
         n_comp = len(self.components)
-        lanes = pallas_decode.max_lanes_t(L + 24, B)
+        lanes = pallas_decode.max_lanes_t(L + 48, B)
         # XLA word-row gather by default: its true device time is
         # ~4.8 ms/1080p (the single-call "30 ms" was relay dispatch
         # noise), while the per-lane-DMA kernel measured ~55 ms — the
@@ -1052,7 +1052,7 @@ class JpegDecoderSession:
         bp0, dc0, seg_blocks = bp0[order], dc0[order], seg_blocks[order]
         L = 1 << max(6, int(int(lens.max()) + 4 - 1).bit_length())
         from ..entropy import pallas_decode
-        if pallas_decode.max_lanes_t(L + 24, stride) == 0:
+        if pallas_decode.max_lanes_t(L + 48, stride) == 0:
             # per-lane kernel state would not fit VMEM even at the
             # minimum lane count — route back to the serial/flat tier
             # instead of launching an over-budget kernel (ADVICE r3)
@@ -1077,7 +1077,7 @@ class JpegDecoderSession:
         comp_sched = jnp.asarray(self.comp_idx[:stride])
         n_blocks = self.n_blocks
         R = (n_blocks + stride - 1) // stride
-        lanes = pallas_decode.max_lanes_t(L + 24, stride)
+        lanes = pallas_decode.max_lanes_t(L + 48, stride)
         if lanes == 0:  # dispatch guards this; keep the builder honest
             raise ValueError("indexed kernel state exceeds VMEM budget")
 
