@@ -1330,6 +1330,15 @@ class JpegEncoderSession:
                              for _i, (_si, x, y) in rows], dtype=np.int32)
             dest = np.array([i for i, _ in rows], dtype=np.int32)
             self.gather.append((take, dest, s.plane.height // 8, nbx))
+        # composed stream-order permutation: with per-scan raster blocks
+        # concatenated scan-major, stream block i is all_blocks[perm[i]]
+        # — one gather instead of a per-component gather PLUS scatter
+        perm = np.zeros(self.n_blocks, np.int32)
+        off = 0
+        for take, dest, nby, nbx in self.gather:
+            perm[dest] = off + take
+            off += nby * nbx
+        self._perm_dev = jnp.asarray(perm)
         self._quant_dev = jnp.asarray(self.quant)
         self._gather_dev = [(jnp.asarray(t), jnp.asarray(d), nby, nbx)
                             for t, d, nby, nbx in self.gather]
@@ -1347,10 +1356,10 @@ class JpegEncoderSession:
     def _encode_qc(self, planes):
         """Padded planes → (N,64) int32 quantized zigzag coefficients
         (traced inside jit)."""
-        pixels = jnp.zeros((self.n_blocks, 8, 8), dtype=jnp.int32)
-        for plane, (take, dest, nby, nbx) in zip(planes, self._gather_dev):
-            blocks = _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
-            pixels = pixels.at[dest].set(blocks[take])
+        blocks = jnp.concatenate([
+            _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
+            for plane, (_t, _d, nby, nbx) in zip(planes, self._gather_dev)])
+        pixels = jnp.take(blocks, self._perm_dev, axis=0)
         if self._use_pallas:
             return datapath.encode_datapath_pallas(pixels, self._quant_dev)
         return datapath.encode_datapath_jnp(pixels, self._quant_dev)
@@ -1358,13 +1367,11 @@ class JpegEncoderSession:
     def _encode_qc_batch(self, planes_batched, f):
         """Stacked planes → (F*N, 64) int32 quantized coefficients."""
         def one(*planes):
-            pixels = jnp.zeros((self.n_blocks, 8, 8), dtype=jnp.int32)
-            for plane, (take, dest, nby, nbx) in zip(planes,
-                                                     self._gather_dev):
-                blocks = _blocks_from_plane(
-                    plane.astype(jnp.int32), nby, nbx)
-                pixels = pixels.at[dest].set(blocks[take])
-            return pixels
+            blocks = jnp.concatenate([
+                _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
+                for plane, (_t, _d, nby, nbx) in zip(planes,
+                                                     self._gather_dev)])
+            return jnp.take(blocks, self._perm_dev, axis=0)
 
         pixels = jax.vmap(one)(*planes_batched).reshape(-1, 8, 8)
         qrep = jnp.tile(self._quant_dev, (f, 1))
