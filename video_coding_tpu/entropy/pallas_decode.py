@@ -717,16 +717,17 @@ def decode_flat_pallas_dma(flat: jax.Array, starts: jax.Array,
 
 
 def flat_word_rows(flat: jax.Array, starts: jax.Array, lens: jax.Array,
-                   L: int, granule: int = 32
+                   L: int, granule: int = 8
                    ) -> tuple[jax.Array, jax.Array]:
     """Traceable lane materialization for decode_flat_pallas_t: (S, NW)
     int32 stride-16 windows gathered as ``granule``-byte rows from
     granule-aligned bases, plus the (S,) initial bit cursor covering the
     alignment slack. The XLA row gather costs ~100 ns per gathered ROW
-    on the tunneled v5e regardless of width, so bigger granules mean
-    fewer rows (the alignment slack — up to granule-1 bytes — rides the
-    kernel's per-lane bit cursor; the over-fetched bytes are masked).
-    granule ∈ {8, 16, 32, 64}."""
+    on the tunneled v5e regardless of width; the measured cost is also
+    granule-INSENSITIVE (5.3-5.5 ms across 8..64-byte rows at 1080p), so
+    the default stays 8 — the smallest slack keeps the kernel's peek
+    window row count (NW) minimal, which the one-hot peeks pay for
+    directly. granule ∈ {8, 16, 32, 64}."""
     S = starts.shape[0]
     R = granule // 2                 # stride-16 words per row
     NW = max((L + granule + 8 - 2) // 2, 1)
