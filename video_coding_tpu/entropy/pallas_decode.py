@@ -501,13 +501,29 @@ def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
     # stride-16 32-bit windows: window w covers bits [16w, 16w+32) of the
     # segment (pack_segments guarantees ≥4 guard bytes)
     NW = max((L - 2) // 2, 1)
-    segu = segbytes.astype(jnp.uint32)
-    s0 = segu[:, 0:2 * NW - 1:2]
-    s1 = segu[:, 1:2 * NW:2]
-    s2 = segu[:, 2:2 * NW + 1:2]
-    s3 = segu[:, 3:2 * NW + 2:2]
-    words = jax.lax.bitcast_convert_type(
-        (s0 << 24) | (s1 << 16) | (s2 << 8) | s3, jnp.int32).T  # (NW, S)
+    if L % 4 == 0:
+        # stride-1 form (see flat_word_rows: the stride-2 byte slices
+        # cost ~5 ms/frame in lane-decimation relayouts on chip)
+        shl = jax.lax.shift_left
+        shr = jax.lax.shift_right_logical
+        sp = jnp.pad(segbytes, ((0, 0), (0, 4)))
+        le = jax.lax.bitcast_convert_type(
+            sp.reshape(S, -1, 4), jnp.int32)
+        be = (shl(le, 24) | (shl(le, 8) & 0x00FF0000)
+              | (shr(le, 8) & 0x0000FF00) | (shr(le, 24) & 0xFF))
+        K = L // 4
+        w_even = be[:, :K]
+        w_odd = shl(be[:, :K], 16) | shr(be[:, 1:K + 1], 16)
+        words = jnp.stack([w_even, w_odd], axis=2).reshape(
+            S, 2 * K)[:, :NW].T
+    else:
+        segu = segbytes.astype(jnp.uint32)
+        s0 = segu[:, 0:2 * NW - 1:2]
+        s1 = segu[:, 1:2 * NW:2]
+        s2 = segu[:, 2:2 * NW + 1:2]
+        s3 = segu[:, 3:2 * NW + 2:2]
+        words = jax.lax.bitcast_convert_type(
+            (s0 << 24) | (s1 << 16) | (s2 << 8) | s3, jnp.int32).T
     return _run_kernel_t(words, S, seg_blocks, comp_sched, lo, hi, offset,
                          values, blocks_per_segment=B,
                          n_components=n_components, lanes=lanes,
