@@ -287,3 +287,23 @@ def test_word_row_gather_segmented_decode():
         for p in "yuv":
             assert np.array_equal(getattr(got, p).data,
                                   getattr(golden, p).data)
+
+
+def test_transcode_fused_single_dispatch_byte_identical():
+    """The fused one-dispatch transcode graph (decode entropy + datapath
+    + plane clean + encode datapath + entropy + wire assembly in a
+    single jit) emits byte-identical streams to the host-roundtrip
+    re-encode, across qualities and odd geometry."""
+    src = _rand_frame(ChromaSubsampling.C420)
+    encode, _params, _ = _ENCODERS[ChromaSubsampling.C420]
+    stream = encode(src, 50, restart_interval=2)
+    header, payload = _header_payload(stream)
+    for q_out in (30, 75):
+        t = engine.JpegTranscodeSession(header, quality=q_out,
+                                        restart_interval=2,
+                                        entropy_out="device")
+        out = t.transcode(payload)
+        ref = encode(mdec.decode_a_frame(stream), q_out,
+                     restart_interval=2)
+        assert out == ref
+        assert t.transcode(payload) == ref  # steady-state capped fetch

@@ -1489,18 +1489,25 @@ class JpegEncoderSession:
         from jax.sharding import PartitionSpec as P
 
         dev = [_global_input(p, self.mesh, P()) for p in planes]
+        body = self._run_enc_ladder(
+            lambda msb: self._device_e2e_enc_jit(msb)(*dev))
+        return b"".join((self._header_bytes, body,
+                         bytes((0xFF, marker_codes.EOI))))
+
+    def _run_enc_ladder(self, launch) -> bytes:
+        """Budget-ladder driver shared by the plain and fused (transcode)
+        encode paths: ``launch(msb)`` runs one graph at per-segment
+        budget msb and returns (buf, total, max_len, overflow). In
+        steady state (locked body cap) everything comes back in ONE
+        fetch — the (capped) body bytes ride with the size/overflow
+        scalars and the host slices locally (VERDICT r3 weak #5). The
+        cap is a locked power-of-two bucket with 25% headroom; a content
+        jump past it costs one refetch and a regrow."""
         cap = getattr(self, "_body_cap", None)
         body = None
         for msb in self._enc_budget_ladder():
-            buf, total, max_len, overflow = self._device_e2e_enc_jit(msb)(
-                *dev)
+            buf, total, max_len, overflow = launch(msb)
             if cap is not None:
-                # steady state: ONE fetch — the (capped) body bytes ride
-                # with the size/overflow scalars and the host slices
-                # locally, killing the per-frame pre-sync round trip
-                # (VERDICT r3 weak #5). The cap is a locked power-of-two
-                # bucket with 25% headroom over the first frame's size;
-                # a content jump past it costs one refetch and a regrow.
                 body_c, total_i, max_i, ovf = jax.device_get(
                     (buf[:cap], total, max_len, overflow))
                 total_i, max_i, ovf = int(total_i), int(max_i), int(ovf)
@@ -1521,8 +1528,7 @@ class JpegEncoderSession:
         else:
             raise ValueError("device entropy encode overflow")
         self._record_seg_bytes(max_i)
-        return b"".join((self._header_bytes, body,
-                         bytes((0xFF, marker_codes.EOI))))
+        return body
 
     @staticmethod
     def _body_bucket(total: int) -> int:
@@ -1990,6 +1996,9 @@ class JpegTranscodeSession:
             for comp in self.decoder.components]
 
     def transcode(self, entropy_data: bytes) -> bytes:
+        out = self._transcode_fused(entropy_data)
+        if out is not None:
+            return out
         planes = self.decoder.decode_device_e2e(entropy_data)
         cleaned = []
         for p, (ah, aw) in zip(planes, self._pad_masks):
@@ -2001,6 +2010,68 @@ class JpegTranscodeSession:
         if self.entropy_out == "host":
             return enc.encode_planes(cleaned)
         return enc.encode_planes_device(cleaned)
+
+    def _transcode_fused(self, entropy_data: bytes):
+        """Whole-frame transcode as ONE device dispatch: decode entropy +
+        datapath + plane clean + encode datapath + entropy + wire
+        assembly in a single jit, the body fetched with the size scalars
+        in one device_get. Each relay/PCIe round trip costs real wall
+        time (10-30 ms here), and the unfused path pays 4-6 per frame.
+        Applies to the device-entropy, single-device, restart-segmented
+        case; returns None otherwise (callers fall back)."""
+        dec, enc = self.decoder, self.encoder
+        if (self.entropy_out != "device" or dec.mesh is not None
+                or enc.mesh is not None):
+            return None
+        B = dec.blocks_per_segment
+        n_seg_exp = (dec.n_blocks + B - 1) // B
+        if n_seg_exp <= 1 or B > dec.n_blocks:
+            return None  # foreign/serial shapes keep the two-step path
+        flat, lens64 = entropy_scan.destuff_flat(entropy_data)
+        if len(lens64) != n_seg_exp:
+            raise DecodeError("restart segment count mismatch")
+        seg_blocks = dec._expected_seg_blocks(n_seg_exp)
+        flat_p, starts, lens, segb, inv_perm, L, M = \
+            dec._flat_lane_inputs(flat, lens64, seg_blocks)
+        args = (flat_p, jnp.asarray(starts), jnp.asarray(lens),
+                jnp.asarray(segb), jnp.asarray(inv_perm))
+        body = enc._run_enc_ladder(
+            lambda msb: dec._cached_jit(
+                ("transcode_fused", L, M, msb),
+                self._build_transcode_jit, L, msb)(*args))
+        return b"".join((enc._header_bytes, body,
+                         bytes((0xFF, marker_codes.EOI))))
+
+    def _build_transcode_jit(self, L: int, msb: int):
+        dec, enc = self.decoder, self.encoder
+        B = dec.blocks_per_segment
+        n_seg = (dec.n_blocks + B - 1) // B
+        entropy_fn = dec._entropy_graph_flat(L, n_seg)
+        (eB, e_nblocks, _e_nseg, sp, n_padded, sched_dev, prev_dev,
+         valid_dev, tabs, _cap) = enc._enc_geometry(msb)
+        pack = enc._pack_graph(msb, frames=1)
+        pad_masks = self._pad_masks
+
+        def run(flat, starts, lens, seg_blocks, inv_perm):
+            coefs3 = entropy_fn(flat, starts, lens, seg_blocks)
+            planes = tuple(p[0] for p in dec._decode_tail_pool(
+                coefs3.reshape(-1, 64), inv_perm, 1, B))
+            cleaned = []
+            for p, (ah, aw) in zip(planes, pad_masks):
+                if (ah, aw) != p.shape:
+                    p = p.at[ah:, :].set(0)
+                    p = p.at[:, aw:].set(0)
+                cleaned.append(p)
+            qc = enc._encode_qc(cleaned)
+            if n_padded != e_nblocks:
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((n_padded - e_nblocks, 64), jnp.int32)])
+            bufs, totals, max_len, overflow = pack(
+                qc.reshape(sp, eB, 64), valid_dev.reshape(sp, eB),
+                sched_dev, prev_dev, *tabs)
+            return bufs[0], totals[0], max_len, overflow
+
+        return jax.jit(run)
 
     def transcode_iter(self, entropy_iter, depth: int = 2):
         """Pipelined streaming transcode: an ordered generator of JPEG
