@@ -307,3 +307,42 @@ def test_transcode_fused_single_dispatch_byte_identical():
                      restart_interval=2)
         assert out == ref
         assert t.transcode(payload) == ref  # steady-state capped fetch
+
+
+@pytest.mark.parametrize("sub", [ChromaSubsampling.C422,
+                                 ChromaSubsampling.C444])
+def test_transcode_fused_other_subsamplings(sub):
+    """The fused one-dispatch transcode stays byte-identical on 4:2:2 and
+    4:4:4 geometry (different MCU schedules and plane paddings)."""
+    src = _rand_frame(sub)
+    encode, _params, _ = _ENCODERS[sub]
+    stream = encode(src, 50, restart_interval=2)
+    header, payload = _header_payload(stream)
+    t = engine.JpegTranscodeSession(header, quality=75,
+                                    restart_interval=2,
+                                    entropy_out="device")
+    out = t.transcode(payload)
+    assert out == encode(mdec.decode_a_frame(stream), 75,
+                         restart_interval=2)
+
+
+def test_transcode_fused_odd_geometry_pad_clean():
+    """Odd dimensions force non-zero plane padding; the in-graph pad
+    clean must keep the fused output byte-identical to the host
+    roundtrip (which encodes from zero-padded planes)."""
+    rng = np.random.default_rng(23)
+    w, h = 52, 44  # not MCU multiples
+
+    def plane(pw, ph):
+        return Plane(data=rng.integers(0, 256, (ph, pw)).astype(np.uint8))
+
+    src = Frame(plane(w, h), plane(w // 2, h // 2), plane(w // 2, h // 2),
+                ChromaSubsampling.C420)
+    stream = menc.encode_420(src, 50, restart_interval=1)
+    header, payload = _header_payload(stream)
+    t = engine.JpegTranscodeSession(header, quality=80,
+                                    restart_interval=1,
+                                    entropy_out="device")
+    out = t.transcode(payload)
+    assert out == menc.encode_420(mdec.decode_a_frame(stream), 80,
+                                  restart_interval=1)
