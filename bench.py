@@ -279,9 +279,13 @@ def main() -> int:
             pass
         return (time.perf_counter() - t0) / FT
 
-    # two passes, keep the better: a single relay stall landing inside
-    # the one headline measurement swung recorded rounds by ~2x
-    t_trans_iter = min(time_trans_iter(), time_trans_iter())
+    # five measurement windows, HEADLINE = MEDIAN (VERDICT r4: min() of
+    # two windows was a best-case estimator on a ±40% timeshared chip —
+    # the recorded number must be a defensible statistic, like the
+    # reference's deterministic synthesis facts, decoder_accelerator.ml:4-5).
+    # The per-window raw values ride along as detail fields.
+    windows = sorted(time_trans_iter() for _ in range(5))
+    t_trans_iter = windows[len(windows) // 2]
     # sanity (VERDICT r3 weak #2): the sync and streamed transcode differ
     # only in overlap — a sync rate below 0.3x the streamed one means a
     # relay stall landed inside the measurement. Re-measure once; if it
@@ -292,6 +296,28 @@ def main() -> int:
         if t_trans_sync > t_trans_iter / 0.3:
             anomaly = "transcode_sync stalled (re-measured, still <0.3x stream)"
     t_trans = min(t_trans_sync, t_trans_iter)
+
+    # calibration kernel: a fixed bf16 matmul chain timed in the same
+    # window, so cross-round headline comparisons can cancel the chip's
+    # timeshare drift (VERDICT r4 item 2). 8 chained 2048^2 dots ≈
+    # 137 GFLOP; the carried value is a fixpoint (a[i,j] = 1/2048) so the
+    # loop is hoist-proof but numerically stable.
+    calib_ms = None
+    if platform == "tpu":
+        import jax.numpy as jnp
+
+        a_cal = jnp.full((2048, 2048), 1.0 / 2048.0, jnp.bfloat16)
+
+        @jax.jit
+        def _calib(y):
+            return jax.lax.fori_loop(
+                0, 8, lambda i, x: jnp.dot(
+                    x, a_cal, preferred_element_type=jnp.bfloat16), y)
+
+        jax.block_until_ready(_calib(a_cal))
+        t0 = time.perf_counter()
+        jax.block_until_ready(_calib(a_cal))
+        calib_ms = round((time.perf_counter() - t0) * 1e3 / 8, 3)
 
     # headline: best decode+encode path (each frame fully decoded and
     # re-encoded, bit-exactness gated above)
@@ -309,6 +335,9 @@ def main() -> int:
         "transcode_mpix_s": round(px / t_trans / 1e6, 2),
         "transcode_sync_mpix_s": round(px / t_trans_sync / 1e6, 2),
         "transcode_stream_mpix_s": round(px / t_trans_iter / 1e6, 2),
+        "transcode_stream_windows_mpix_s": [
+            round(px / w / 1e6, 2) for w in windows],
+        "calib_matmul_ms": calib_ms,
         "platform": platform,
         "encode_mpix_s": round(px / t_enc / 1e6, 2),
         "encode_single_mpix_s": round(px / t_enc_single / 1e6, 2),

@@ -225,10 +225,41 @@ def profile_flat(args, sess, payload, mpix, platform, t):
     ms_kernel, _ = t(lambda: jax.block_until_ready(kloop(dstarts)))
     ms_kernel /= REPS
 
+    # padded route (round-5 default): host C++ pack at stride Lp, free
+    # device reshape, kernel straight from the (S, Lp) matrix
+    ms_prep_pad, pad_inputs = t(
+        lambda: sess._padded_lane_inputs(flat, lens64, seg_blocks))
+    lanebuf_p, p_starts, p_lens, p_segb, p_inv, Lp, Mp = pad_inputs
+    ms_up_pad, pdev = t(lambda: jax.block_until_ready(tuple(map(
+        jnp.asarray, (lanebuf_p, p_segb, p_inv)))))
+    dlane, dpsegb, dpinv = pdev
+    lanes_p = pallas_decode.max_lanes_t(Lp, B)
+
+    @jax.jit
+    def kloop_pad(lb):
+        def body(i, acc):
+            dc0 = jnp.full((S, n_comp),
+                           jnp.where(acc == jnp.int32(-12345), 1, 0),
+                           jnp.int32)
+            out = pallas_decode.decode_segments_pallas_t(
+                lb.reshape(-1, Lp), dpsegb, sched, *lut_args,
+                blocks_per_segment=B, n_components=n_comp,
+                init_dc=dc0, lanes=min(max(lanes_p, 128), 512),
+                interpret=interp)
+            return acc + out.sum()
+        return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
+
+    ms_kernel_pad, _ = t(lambda: jax.block_until_ready(kloop_pad(dlane)))
+    ms_kernel_pad /= REPS
+
     # full fused graph from resident arrays, and end to end
     fn = sess._device_e2e_flat_jit(L, M)
     ms_graph, _ = t(lambda: jax.block_until_ready(
         fn(dflat, dstarts, dlens, dsegb, dinv)))
+    fnp = sess._device_e2e_flat_jit(Lp, Mp, True)
+    ms_graph_pad, _ = t(lambda: jax.block_until_ready(
+        fnp(dlane, jnp.asarray(p_starts), jnp.asarray(p_lens),
+            dpsegb, dpinv)))
     ms_e2e, _ = t(lambda: jax.block_until_ready(
         sess.decode_device_e2e(payload)))
 
@@ -241,6 +272,11 @@ def profile_flat(args, sess, payload, mpix, platform, t):
         "ms_byte_lane_gather": round(ms_bytes, 2),
         "ms_word_row_gather": round(ms_words, 2),
         "ms_words_plus_kernel": round(ms_kernel, 2),
+        "Lp": Lp,
+        "ms_host_prep_padded": round(ms_prep_pad, 2),
+        "ms_upload_padded": round(ms_up_pad, 2),
+        "ms_kernel_padded": round(ms_kernel_pad, 2),
+        "ms_device_graph_padded": round(ms_graph_pad, 2),
         "ms_device_graph": round(ms_graph, 2),
         "ms_e2e": round(ms_e2e, 2),
         "mpix_s_e2e": round(mpix / (ms_e2e / 1e3), 1)}), flush=True)

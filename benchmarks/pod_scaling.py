@@ -84,6 +84,11 @@ def main(argv=None) -> int:
     p.add_argument("--skip-single", action="store_true",
                    help="skip the 1-device reference measurement "
                         "(report absolute frames/s only)")
+    p.add_argument("--assert-virtual-efficiency", type=float, default=0.0,
+                   help="fail (rc=1) if any direction's "
+                        "virtual_efficiency falls below this floor — "
+                        "the regression tripwire dryrun_multichip sets "
+                        "(VERDICT r4 item 4)")
     args = p.parse_args(argv)
 
     import jax
@@ -168,6 +173,15 @@ def main(argv=None) -> int:
                 print(f"TARGET MISSED: {lo} < {args.target_fps} fps at "
                       f"q{row['quality']}", file=sys.stderr)
                 return 1
+    if args.assert_virtual_efficiency and not args.skip_single:
+        for row in report["results"]:
+            for d in ("decode", "encode"):
+                eff = row.get(f"{d}_virtual_efficiency")
+                if eff is not None and eff < args.assert_virtual_efficiency:
+                    print(f"EFFICIENCY FLOOR MISSED: {d} {eff} < "
+                          f"{args.assert_virtual_efficiency} at "
+                          f"q{row['quality']}", file=sys.stderr)
+                    return 1
     return 0
 
 

@@ -587,6 +587,20 @@ int64_t vct_destuff_segments(
                                 max_segments);
 }
 
-int32_t vct_version() { return 6; }
+// Pack segments of the flat destuffed buffer into a fixed-stride lane
+// matrix (row i = segment order[i], zero-padded by the caller's zeroed
+// allocation). The host-side replacement for the device's per-lane
+// gather: an XLA row gather costs ~0.6 us per LANE on the target chip
+// (~4.5 ms at 8k lanes/frame) while this strided memcpy is ~0.1 ms.
+void vct_pack_lanes(const uint8_t* flat, const int64_t* starts,
+                    const int64_t* lens, const int32_t* order,
+                    int64_t n_segments, int64_t stride, uint8_t* out) {
+  for (int64_t i = 0; i < n_segments; ++i) {
+    int64_t s = order ? order[i] : i;
+    std::memcpy(out + i * stride, flat + starts[s], (size_t)lens[s]);
+  }
+}
+
+int32_t vct_version() { return 7; }
 
 }  // extern "C"

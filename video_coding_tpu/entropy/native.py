@@ -19,7 +19,7 @@ _NATIVE_DIR = os.path.join(
 _SO_PATH = os.path.join(_NATIVE_DIR, "libvctentropy.so")
 
 # Must match native/entropy.cpp vct_version() — bump both together.
-_ABI_VERSION = 6
+_ABI_VERSION = 7
 
 _lib = None
 
@@ -123,6 +123,12 @@ def load():
 
     lib.vct_destuff_segments_m.restype = i64
     lib.vct_destuff_segments_m.argtypes = [p_u8, i64, p_u8, p_i64, p_i64, i64]
+
+    lib.vct_pack_lanes.restype = None
+    lib.vct_pack_lanes.argtypes = [
+        p_u8, p_i64, p_i64, p_i32,  # flat, starts, lens, order
+        i64, i64, p_u8,             # n_segments, stride, out
+    ]
 
     _lib = lib
     return _lib

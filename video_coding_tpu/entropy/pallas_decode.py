@@ -434,7 +434,11 @@ def _symbol_loop_t(words, seg_blocks, sched, lo_v, hi_v, off_v, values,
         # int16-packed carry: two coefficients per int32 row (baseline
         # values are 12-bit-clamped), halving the biggest per-symbol
         # one-hot; each half-slot is written at most once so or-insert
-        # composes exactly
+        # composes exactly. Values are saturated to int16 first so an
+        # out-of-spec foreign stream whose DC predictor drifts past
+        # ±32767 degrades deterministically instead of wrapping
+        # (ADVICE r4; valid streams never reach the clamp)
+        write_val = jnp.clip(write_val, -32768, 32767)
         ins = jax.lax.shift_left(write_val & 0xFFFF, (w & 1) * 16)
         coefs = jnp.where((out_rows == (w >> 1)) & do_write, coefs | ins,
                           coefs)
@@ -495,7 +499,13 @@ def decode_segments_pallas_t(segbytes: jax.Array, seg_blocks: jax.Array,
     lane at a bit offset into its window with non-zero DC predictors —
     the hooks the indexed foreign-stream decode uses to run virtual
     segments of one restart-free scan in parallel (entropy/scan.py
-    index_scan)."""
+    index_scan).
+
+    int16 coefficient contract: the carry packs two coefficients per
+    int32 row; decoded values are saturated to [-32768, 32767] in-kernel,
+    so out-of-spec foreign streams whose DC predictors drift past int16
+    degrade deterministically (valid baseline streams stay within the
+    12-bit clamp and are bit-exact — ops/datapath.py COEF_MIN/MAX)."""
     S, L = segbytes.shape
     B = blocks_per_segment
     # stride-16 32-bit windows: window w covers bits [16w, 16w+32) of the
@@ -557,7 +567,8 @@ def decode_flat_pallas_t(flat: jax.Array, starts: jax.Array,
     ``L`` is the static lane-length bucket (≥ lens.max() + 4 as for
     decode_segments_pallas_t); the wrapper widens it internally by the
     8-byte slack. ``flat`` must be zero-padded to a multiple of 8 with
-    ≥ 8 spare bytes."""
+    ≥ 8 spare bytes. Shares decode_segments_pallas_t's int16 coefficient
+    contract (in-kernel saturation; see its docstring)."""
     S = starts.shape[0]
     B = blocks_per_segment
     wl, bp0 = flat_word_rows(flat, starts, lens, L)

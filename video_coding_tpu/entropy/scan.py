@@ -93,6 +93,37 @@ def destuff_flat(data: bytes, use_native: bool | None = None
     return flat, np.array([len(s) for s in segments], dtype=np.int64)
 
 
+def pack_lanes_sorted(flat: np.ndarray, lens64: np.ndarray,
+                      order: np.ndarray, L: int) -> np.ndarray:
+    """(S, L) zero-padded uint8 lane matrix from the flat destuffed
+    buffer, rows permuted by ``order`` (the load-balancing length sort) —
+    the HOST-side replacement for the device lane gather. An XLA per-lane
+    row gather costs ~0.6 us per lane on the target chip (~4.5 ms/frame
+    at 1080p ri=1, BENCH_NOTES round 5) while this is a strided memcpy
+    (C++, ~0.1 ms) and the padded upload rides a ~650 MB/s link. ``L``
+    must be >= lens64.max() + 4 (guard bytes for the 32-bit peek
+    windows, the device analog of zero-past-EOF —
+    bitstream_reader.ml:36-57)."""
+    S = len(lens64)
+    starts = np.zeros(S, np.int64)
+    np.cumsum(lens64[:-1], out=starts[1:])
+    out = np.zeros((S, L), np.uint8)
+    lib = native.load()
+    if lib is not None and hasattr(lib, "vct_pack_lanes"):
+        lib.vct_pack_lanes(
+            np.ascontiguousarray(flat, dtype=np.uint8), starts,
+            np.ascontiguousarray(lens64, dtype=np.int64),
+            np.ascontiguousarray(order, dtype=np.int32), S, L, out)
+        return out
+    # vectorized numpy fallback (one fancy-index read)
+    cols = np.arange(L, dtype=np.int64)[None, :]
+    st = starts[order][:, None]
+    ln = lens64[order].astype(np.int64)[:, None]
+    idx = np.clip(st + cols, 0, len(flat) - 1)
+    np.copyto(out, np.where(cols < ln, flat[idx], 0))
+    return out
+
+
 def index_scan(flat: np.ndarray, comp_idx: np.ndarray, stride: int,
                tables: DecoderTables
                ) -> tuple[np.ndarray, np.ndarray] | None:
