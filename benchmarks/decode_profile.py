@@ -33,6 +33,12 @@ def main(argv=None) -> int:
                         "(destuff_flat, host prep, upload, byte-lane vs "
                         "word-row materialization, kernel, full e2e) — "
                         "the ladder VERDICT r3 item 2 asks for")
+    p.add_argument("--datapath", action="store_true",
+                   help="dispatch-free stage ladder of the decode "
+                        "datapath (dequant+IDCT+recon) and plane "
+                        "assembly: full pallas path, kernel-only on "
+                        "pre-formatted tiles, coef prep, quant prep, "
+                        "epilogue, assembly gather (VERDICT r4 item 6)")
     args = p.parse_args(argv)
 
     import jax
@@ -80,6 +86,8 @@ def main(argv=None) -> int:
 
     if args.flat:
         return profile_flat(args, sess, payload, mpix, platform, t)
+    if args.datapath:
+        return profile_datapath(args, sess, payload, mpix, platform, t)
 
     # stage 1: host destuff (C++)
     ms_destuff, segments = t(lambda: entropy_scan.destuff_segments(payload))
@@ -280,6 +288,145 @@ def profile_flat(args, sess, payload, mpix, platform, t):
         "ms_device_graph": round(ms_graph, 2),
         "ms_e2e": round(ms_e2e, 2),
         "mpix_s_e2e": round(mpix / (ms_e2e / 1e3), 1)}), flush=True)
+    return 0
+
+
+def profile_datapath(args, sess, payload, mpix, platform, t):
+    """Dispatch-free decode-datapath ladder (VERDICT r4 item 6): where
+    the 1.18 ms/frame goes — prep relayouts vs butterflies vs epilogue
+    vs plane assembly."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_coding_tpu.ops import datapath
+    from video_coding_tpu.ops.datapath import (_FORWARD, LANE_TILE,
+                                               _pad_lanes)
+    from video_coding_tpu.runtime.engine import _plane_from_blocks
+
+    coefs = jnp.asarray(sess.decode_entropy(payload))
+    quant = sess._quant_dev
+    n = coefs.shape[0]
+    npad = _pad_lanes(n, LANE_TILE)
+    interp = jax.default_backend() == "cpu"
+
+    def dev_loop(stage, *operands):
+        """Slope timing: run the hoist-proof loop at two trip counts and
+        take (t_hi - t_lo) / (hi - lo) — the per-call relay dispatch
+        (10-30 ms here) cancels exactly instead of leaving a
+        dispatch/REPS floor under each stage."""
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("reps",))
+        def loop(*ops, reps):
+            def body(i, acc):
+                perturbed = tuple(o + (acc & 1) for o in ops)
+                return acc + stage(*perturbed).sum().astype(jnp.int32)
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        if interp:
+            ms, _ = t(lambda: jax.block_until_ready(
+                loop(*operands, reps=1)))
+            return ms
+        times = {}
+        for reps in (8, 40):
+            jax.block_until_ready(loop(*operands, reps=reps))
+            ms, _ = t(lambda: jax.block_until_ready(
+                loop(*operands, reps=reps)))
+            times[reps] = ms
+        return (times[40] - times[8]) / 32
+
+    def prep(z):
+        natv = z.astype(jnp.int32)[:, _FORWARD]
+        natv = jnp.pad(natv, ((0, npad - n), (0, 0)))
+        return jnp.transpose(natv.reshape(npad, 8, 8), (1, 2, 0))
+
+    ms_full = dev_loop(
+        lambda c: datapath.decode_datapath_pallas(c, quant,
+                                                  interpret=interp),
+        coefs)
+    # pre-formatted tiles: kernel body alone
+    tile = jax.block_until_ready(prep(coefs))
+    qtile = jax.block_until_ready(prep(quant))
+
+    def kernel_only(tl):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        grid = (npad // LANE_TILE,)
+        spec = pl.BlockSpec((8, 8, LANE_TILE), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            datapath._decode_kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 8, npad), jnp.int32),
+            grid=grid, in_specs=[spec, spec], out_specs=spec,
+            interpret=interp)(tl, qtile)
+
+    ms_kernel = dev_loop(kernel_only, tile)
+    ms_coef_prep = dev_loop(prep, coefs)
+    ms_quant_prep = dev_loop(prep, quant)
+    ms_epilogue = dev_loop(
+        lambda tl: jnp.transpose(tl, (2, 0, 1))[:n].astype(jnp.uint8),
+        tile)
+
+    pixels = jax.block_until_ready(
+        jnp.transpose(tile, (2, 0, 1))[:n].astype(jnp.uint8))
+    geoms = sess._geom_dev
+
+    def assembly(px):
+        return sum(_plane_from_blocks(px, idx, nby, nbx).sum()
+                   for idx, nby, nbx in geoms)
+
+    def assembly_words(px):
+        # int32-word form: gather + transpose act on (N, 8, 2) int32
+        # views (8 uint8 = 2 words), so the relayout's inner dims are
+        # 4x wider than the uint8 form
+        pw = jax.lax.bitcast_convert_type(
+            px.reshape(px.shape[0], 8, 2, 4), jnp.int32)
+        tot = jnp.int32(0)
+        for idx, nby, nbx in geoms:
+            b = pw[idx].reshape(nby, nbx, 8, 2).transpose(0, 2, 1, 3)
+            plane = jax.lax.bitcast_convert_type(
+                b.reshape(nby * 8, nbx * 2), jnp.uint8).reshape(
+                    nby * 8, nbx * 8)
+            tot += plane.sum().astype(jnp.int32)
+        return tot[None]
+
+    def gather_only(px):
+        return sum(px[idx].sum() for idx, _nby, _nbx in geoms)
+
+    def transpose_only(px):
+        tot = jnp.int32(0)
+        off = 0
+        for idx, nby, nbx in geoms:
+            nbk = nby * nbx
+            b = px[off:off + nbk].reshape(nby, nbx, 8, 8)
+            off += nbk
+            tot += b.transpose(0, 2, 1, 3).reshape(
+                nby * 8, nbx * 8).sum().astype(jnp.int32)
+        return tot[None]
+
+    ms_assembly = dev_loop(assembly, pixels)
+    ms_assembly_words = dev_loop(assembly_words, pixels)
+    ms_gather_only = dev_loop(gather_only, pixels)
+    ms_transpose_only = dev_loop(transpose_only, pixels)
+    ms_tail = dev_loop(lambda c: sess._decode_tail(c)[0], coefs)
+
+    print(_json.dumps({
+        "bench": "decode_profile_datapath", "platform": platform,
+        "n_blocks": int(n), "npad": int(npad),
+        "ms_full_pallas": round(ms_full, 3),
+        "ms_kernel_only": round(ms_kernel, 3),
+        "ms_coef_prep": round(ms_coef_prep, 3),
+        "ms_quant_prep": round(ms_quant_prep, 3),
+        "ms_epilogue": round(ms_epilogue, 3),
+        "ms_assembly": round(ms_assembly, 3),
+        "ms_assembly_words": round(ms_assembly_words, 3),
+        "ms_gather_only": round(ms_gather_only, 3),
+        "ms_transpose_only": round(ms_transpose_only, 3),
+        "ms_decode_tail_full": round(ms_tail, 3)}), flush=True)
     return 0
 
 

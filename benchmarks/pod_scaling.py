@@ -89,7 +89,22 @@ def main(argv=None) -> int:
                         "virtual_efficiency falls below this floor — "
                         "the regression tripwire dryrun_multichip sets "
                         "(VERDICT r4 item 4)")
+    p.add_argument("--distributed", default=None, metavar="COORD,N,PID",
+                   help="join a jax.distributed run first (e.g. "
+                        "'127.0.0.1:9999,2,0') — every process runs this "
+                        "same command with its own PID; the mesh then "
+                        "spans all processes' devices (BASELINE config-5 "
+                        "multi-host readiness, VERDICT r4 item 9). "
+                        "Implies --skip-single: a 1-device reference is "
+                        "not meaningful across controllers.")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        coord, nproc, pid = args.distributed.rsplit(",", 2)
+        from video_coding_tpu.parallel import multihost
+
+        multihost.initialize(coord, int(nproc), int(pid))
+        args.skip_single = True
 
     import jax
 

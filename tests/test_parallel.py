@@ -188,6 +188,38 @@ def test_sharded_sessions_real_bitstream(mesh, wh, ri):
                                   getattr(golden, p).data)
 
 
+def test_mesh_batch_sharded_outputs(mesh):
+    """When the batch size divides the mesh, the batched mesh decode
+    keeps output planes sharded over the frame axis (no all-gather of
+    ~F x 3 MPix uint8 back onto every device — VERDICT r4 item 3);
+    results stay bit-exact vs the golden model."""
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.model.decoder import Header, decode_a_frame
+    from video_coding_tpu.model.encoder import Parameters
+    from video_coding_tpu.runtime.engine import (JpegDecoderSession,
+                                                 JpegEncoderSession)
+
+    w, h = 192, 128
+    frame = _tiled_frame(w, h)
+    params = Parameters.c420(w, h, 75)
+    stream = JpegEncoderSession(params, restart_interval=1).encode(frame)
+    bits = BitReader(stream)
+    header = Header.decode(bits)
+    payload = stream[bits.bit_pos >> 3:]
+    golden = decode_a_frame(stream)
+    dec = JpegDecoderSession(header, mesh=mesh)
+    F = mesh.size
+    planes = dec.decode_device_batch_stacked([payload] * F)
+    gp = [golden.y.data, golden.u.data, golden.v.data]
+    for stack, g in zip(planes, gp):
+        sh = stack.sharding
+        assert not sh.is_fully_replicated  # frame-axis sharded
+        arr = np.asarray(stack)
+        assert arr.shape[0] == F
+        for i in range(F):
+            assert np.array_equal(arr[i, :g.shape[0], :g.shape[1]], g)
+
+
 def test_sharded_transcode_real_bitstream(mesh):
     """Sharded JPEG→JPEG transcode (device entropy out: the assembled wire
     stream comes off the mesh via the length-exchange collective) matches

@@ -107,20 +107,47 @@ def test_fused_sessions_on_chip(small_stream):
 
 
 def test_transcode_on_chip(small_stream):
+    """The fused one-dispatch transcode graph is BYTE-identical to the
+    host round-trip re-encode on the real chip (VERDICT r4 item 5 — the
+    CPU sweep's assert, test_quality_sweep.py
+    test_transcode_fused_single_dispatch_byte_identical, run on the
+    Mosaic-compiled graph)."""
     _frame, _params, stream, header, payload, _golden = small_stream
+    from video_coding_tpu.model import encoder as menc
+    from video_coding_tpu.model.decoder import decode_a_frame
     from video_coding_tpu.runtime.engine import JpegTranscodeSession
 
     trans = JpegTranscodeSession(header, quality=50, restart_interval=1,
                                  entropy_out="device")
     out = trans.transcode(payload)
-    # gate: the transcoded stream must itself decode bit-exactly
-    from video_coding_tpu.model.decoder import decode_a_frame
-    from video_coding_tpu.runtime.engine import decode_jpeg
+    ref = menc.encode_420(decode_a_frame(stream), 50, restart_interval=1)
+    assert out == ref
+    assert trans.transcode(payload) == ref  # steady-state path too
 
-    a = decode_a_frame(out)
-    b = decode_jpeg(out)
-    for p in "yuv":
-        assert np.array_equal(getattr(a, p).data, getattr(b, p).data)
+
+def test_foreign_transcode_segmented_on_chip():
+    """Mouse480 (foreign camera JPEG, no restart markers) transcodes on
+    chip into a restart-segmented stream byte-identical to the host
+    re-encode — indexed parallel entropy decode feeding the fused
+    encode (VERDICT r4 item 5, second half)."""
+    from video_coding_tpu.common.bitstream import BitReader
+    from video_coding_tpu.entropy import native as entropy_native
+    from video_coding_tpu.model import decoder as mdec
+    from video_coding_tpu.model import encoder as menc
+    from video_coding_tpu.runtime.engine import JpegTranscodeSession
+
+    if entropy_native.load() is None:
+        pytest.skip("native engine unavailable")
+    data = open("/root/reference/jpeg/test_data/Mouse480.jpg", "rb").read()
+    bits = BitReader(data)
+    header = mdec.Header.decode(bits)
+    payload = data[bits.bit_pos >> 3:]
+    trans = JpegTranscodeSession(header, quality=75, restart_interval=4,
+                                 entropy_out="device")
+    out = trans.transcode(payload)
+    ref = menc.encode_420(mdec.decode_a_frame(data), 75,
+                          restart_interval=4)
+    assert out == ref
 
 
 @pytest.mark.parametrize("sub,interval,q", [
