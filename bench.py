@@ -286,6 +286,29 @@ def main() -> int:
     # The per-window raw values ride along as detail fields.
     windows = sorted(time_trans_iter() for _ in range(5))
     t_trans_iter = windows[len(windows) // 2]
+
+    # batched fused transcode: F frames in ONE device dispatch (the
+    # transcode analog of the batched decode/encode paths — amortizes
+    # the per-dispatch relay cost F-fold). Byte-gated against the
+    # per-frame output above.
+    FB = 8
+    outs_b = trans.transcode_batch([payload] * FB)  # compile + ladder
+    if any(o != ref for o in outs_b):
+        print(json.dumps({
+            "metric": METRIC, "value": 0.0, "unit": "MPix/s",
+            "vs_baseline": 0.0,
+            "error": "batched transcode bytes differ from host re-encode",
+        }), flush=True)
+        return 1
+    trans.transcode_batch([payload] * FB)  # locked-budget graph warm
+
+    def time_trans_batch():
+        t0 = time.perf_counter()
+        trans.transcode_batch([payload] * FB)
+        return (time.perf_counter() - t0) / FB
+
+    bwindows = sorted(time_trans_batch() for _ in range(5))
+    t_trans_batch = bwindows[len(bwindows) // 2]
     # sanity (VERDICT r3 weak #2): the sync and streamed transcode differ
     # only in overlap — a sync rate below 0.3x the streamed one means a
     # relay stall landed inside the measurement. Re-measure once; if it
@@ -295,7 +318,7 @@ def main() -> int:
         t_trans_sync = time_trans_sync()
         if t_trans_sync > t_trans_iter / 0.3:
             anomaly = "transcode_sync stalled (re-measured, still <0.3x stream)"
-    t_trans = min(t_trans_sync, t_trans_iter)
+    t_trans = min(t_trans_sync, t_trans_iter, t_trans_batch)
 
     # calibration kernel: a fixed bf16 matmul chain timed in the same
     # window, so cross-round headline comparisons can cancel the chip's
@@ -337,6 +360,9 @@ def main() -> int:
         "transcode_stream_mpix_s": round(px / t_trans_iter / 1e6, 2),
         "transcode_stream_windows_mpix_s": [
             round(px / w / 1e6, 2) for w in windows],
+        "transcode_batch_mpix_s": round(px / t_trans_batch / 1e6, 2),
+        "transcode_batch_windows_mpix_s": [
+            round(px / w / 1e6, 2) for w in bwindows],
         "calib_matmul_ms": calib_ms,
         "platform": platform,
         "encode_mpix_s": round(px / t_enc / 1e6, 2),

@@ -322,7 +322,8 @@ def profile_datapath(args, sess, payload, mpix, platform, t):
         @_ft.partial(jax.jit, static_argnames=("reps",))
         def loop(*ops, reps):
             def body(i, acc):
-                perturbed = tuple(o + (acc & 1) for o in ops)
+                perturbed = tuple(o + (acc & 1).astype(o.dtype)
+                                  for o in ops)
                 return acc + stage(*perturbed).sum().astype(jnp.int32)
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 

@@ -24,6 +24,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--quality", type=int, default=75)
+    p.add_argument("--slope", action="store_true",
+                   help="slope-timed (dispatch-cancelling) stage ladder: "
+                        "run each stage at two fori_loop trip counts "
+                        "inside one jit and report (t_hi-t_lo)/diff — "
+                        "the single-call numbers above carry a relay "
+                        "dispatch (~10-30 ms) per call")
     args = p.parse_args(argv)
 
     import jax
@@ -135,6 +141,53 @@ def main(argv=None) -> int:
         return pallas_encode.pack_stuff_pallas(
             c_hi, c_lo, c_len, rbl,
             m_raw=msb, m_out=m_out, interpret=interp)
+
+    if args.slope:
+        def t(fn, n=args.iters):
+            fn()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn()
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / n * 1e3
+
+        def dev_loop(stage, *operands):
+            @functools.partial(jax.jit, static_argnames=("reps",))
+            def loop(*ops, reps):
+                def body(i, acc):
+                    perturbed = tuple(o + (acc & 1).astype(o.dtype)
+                                      for o in ops)
+                    out = stage(*perturbed)
+                    leaves = jax.tree_util.tree_leaves(out)
+                    return acc + sum(l.sum().astype(jnp.int32)
+                                     for l in leaves)
+                return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+            if interp:
+                return t(lambda: jax.block_until_ready(
+                    loop(*operands, reps=1)))
+            times = {}
+            for reps in (8, 40):
+                jax.block_until_ready(loop(*operands, reps=reps))
+                times[reps] = t(lambda: jax.block_until_ready(
+                    loop(*operands, reps=reps)))
+            return (times[40] - times[8]) / 32
+
+        rec = {"bench": "encode_profile_slope", "platform": platform,
+               "ms_datapath": round(dev_loop(
+                   lambda *ps: sess._encode_qc(list(ps)), *planes), 3),
+               "ms_symbols": round(dev_loop(
+                   lambda q: stage_symbols(q), qc), 3),
+               "ms_pack_kernel_only": round(dev_loop(
+                   lambda lo_p: pallas_encode.pack_stuff_pallas(
+                       c_hi, lo_p, c_len, rbl, m_raw=msb, m_out=m_out,
+                       interpret=interp), c_lo), 3),
+               "ms_entropy_pallas_full": round(dev_loop(
+                   lambda q: stage_pack_pallas(q), qc), 3),
+               "ms_entropy_plus_assemble": round(dev_loop(
+                   lambda q: stage_assemble(q), qc), 3)}
+        print(json.dumps(rec), flush=True)
+        return 0
 
     stages = [
         ("datapath", jax.jit(sess._encode_qc), planes),

@@ -309,6 +309,26 @@ def test_transcode_fused_single_dispatch_byte_identical():
         assert t.transcode(payload) == ref  # steady-state capped fetch
 
 
+def test_transcode_batch_byte_identical():
+    """transcode_batch runs F frames through ONE fused device dispatch
+    and stays byte-identical to the per-frame transcode (and so to the
+    host re-encode)."""
+    src = _rand_frame(ChromaSubsampling.C420)
+    encode, _params, _ = _ENCODERS[ChromaSubsampling.C420]
+    stream = encode(src, 50, restart_interval=2)
+    header, payload = _header_payload(stream)
+    t = engine.JpegTranscodeSession(header, quality=75,
+                                    restart_interval=2,
+                                    entropy_out="device")
+    ref = t.transcode(payload)
+    assert ref == encode(mdec.decode_a_frame(stream), 75,
+                         restart_interval=2)
+    outs = t.transcode_batch([payload] * 4)
+    assert all(o == ref for o in outs)
+    # steady state (locked body cap) keeps byte identity
+    assert t.transcode_batch([payload] * 4) == [ref] * 4
+
+
 @pytest.mark.parametrize("sub", [ChromaSubsampling.C422,
                                  ChromaSubsampling.C444])
 def test_transcode_fused_other_subsamplings(sub):

@@ -1444,11 +1444,17 @@ class JpegEncoderSession:
     # -- shared traceable numerics head -------------------------------------
     def _encode_qc(self, planes):
         """Padded planes → (N,64) int32 quantized zigzag coefficients
-        (traced inside jit)."""
+        (traced inside jit).
+
+        The block relayout and the stream-order gather run on the uint8
+        planes (3.1 MB/frame at 1080p) and widen to int32 only at the
+        datapath entry — the int32-first form moved 4x the bytes through
+        the relayout, ~6x slower on chip (BENCH_NOTES round 5 datapath
+        ladder)."""
         blocks = jnp.concatenate([
-            _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
+            _blocks_from_plane(plane, nby, nbx)
             for plane, (_t, _d, nby, nbx) in zip(planes, self._gather_dev)])
-        pixels = jnp.take(blocks, self._perm_dev, axis=0)
+        pixels = jnp.take(blocks, self._perm_dev, axis=0).astype(jnp.int32)
         if self._use_pallas:
             return datapath.encode_datapath_pallas(pixels, self._quant_dev)
         return datapath.encode_datapath_jnp(pixels, self._quant_dev)
@@ -1457,12 +1463,13 @@ class JpegEncoderSession:
         """Stacked planes → (F*N, 64) int32 quantized coefficients."""
         def one(*planes):
             blocks = jnp.concatenate([
-                _blocks_from_plane(plane.astype(jnp.int32), nby, nbx)
+                _blocks_from_plane(plane, nby, nbx)
                 for plane, (_t, _d, nby, nbx) in zip(planes,
                                                      self._gather_dev)])
             return jnp.take(blocks, self._perm_dev, axis=0)
 
-        pixels = jax.vmap(one)(*planes_batched).reshape(-1, 8, 8)
+        pixels = jax.vmap(one)(*planes_batched).reshape(
+            -1, 8, 8).astype(jnp.int32)
         qrep = jnp.tile(self._quant_dev, (f, 1))
         if self._use_pallas:
             return datapath.encode_datapath_pallas(pixels, qrep)
@@ -1618,6 +1625,45 @@ class JpegEncoderSession:
             raise ValueError("device entropy encode overflow")
         self._record_seg_bytes(max_i)
         return body
+
+    def _run_enc_ladder_batch(self, launch, F: int) -> list[bytes]:
+        """Batched form of _run_enc_ladder: ``launch(msb)`` returns
+        (bufs (F, CAP), totals (F,), max_len, overflow); all frames'
+        (capped) bodies and the scalars come back in ONE fetch."""
+        cap = getattr(self, "_body_cap", None)
+        bodies = None
+        for msb in self._enc_budget_ladder():
+            bufs, totals, max_len, overflow = launch(msb)
+            if cap is not None:
+                bodies_c, totals_h, max_i, ovf = jax.device_get(
+                    (bufs[:, :cap], totals, max_len, overflow))
+                if not bool(ovf):
+                    totals_np = np.asarray(totals_h)
+                    max_i = int(max_i)
+                    if int(totals_np.max()) <= cap:
+                        bodies = [bodies_c[f, :totals_np[f]].tobytes()
+                                  for f in range(F)]
+                    else:
+                        bodies = [np.asarray(bufs[f, :totals_np[f]])
+                                  .tobytes() for f in range(F)]
+                        self._body_cap = self._body_bucket(
+                            int(totals_np.max()))
+                    break
+            else:
+                totals_h, max_i, ovf = jax.device_get(
+                    (totals, max_len, overflow))
+                if not bool(ovf):
+                    totals_np = np.asarray(totals_h)
+                    max_i = int(max_i)
+                    bodies = [np.asarray(bufs[f, :totals_np[f]]).tobytes()
+                              for f in range(F)]
+                    self._body_cap = self._body_bucket(
+                        int(totals_np.max()))
+                    break
+        else:
+            raise ValueError("device entropy encode overflow")
+        self._record_seg_bytes(max_i)
+        return bodies
 
     @staticmethod
     def _body_bucket(total: int) -> int:
@@ -1840,38 +1886,11 @@ class JpegEncoderSession:
                                  self.mesh, P())
                    for i in range(len(self.scans))]
         F = len(frames)
-        cap = getattr(self, "_body_cap", None)
-        bodies = None
-        for msb in self._enc_budget_ladder():
-            bufs, totals, max_len, overflow = self._device_e2e_enc_batch_jit(
-                F, msb)(*stacked)
-            if cap is not None:
-                # one transfer for all frames' bodies + scalars (see
-                # encode_planes_device) instead of F+1 round trips
-                bodies_c, totals_h, max_i, ovf = jax.device_get(
-                    (bufs[:, :cap], totals, max_len, overflow))
-                if not bool(ovf):
-                    totals = np.asarray(totals_h)
-                    if int(totals.max()) <= cap:
-                        bodies = [bodies_c[f, :totals[f]].tobytes()
-                                  for f in range(F)]
-                    else:
-                        bodies = [np.asarray(bufs[f, :totals[f]]).tobytes()
-                                  for f in range(F)]
-                        self._body_cap = self._body_bucket(int(totals.max()))
-                    break
-            else:
-                totals_h, max_i, ovf = jax.device_get(
-                    (totals, max_len, overflow))
-                if not bool(ovf):
-                    totals = np.asarray(totals_h)
-                    bodies = [np.asarray(bufs[f, :totals[f]]).tobytes()
-                              for f in range(F)]
-                    self._body_cap = self._body_bucket(int(totals.max()))
-                    break
-        else:
-            raise ValueError("device entropy encode overflow")
-        self._record_seg_bytes(int(max_i))
+        # one transfer for all frames' bodies + scalars (see
+        # encode_planes_device) instead of F+1 round trips
+        bodies = self._run_enc_ladder_batch(
+            lambda msb: self._device_e2e_enc_batch_jit(F, msb)(*stacked),
+            F)
         hdr = self._header_bytes
         eoi = bytes((0xFF, marker_codes.EOI))
         return [b"".join((hdr, body, eoi)) for body in bodies]
@@ -2190,6 +2209,118 @@ class JpegTranscodeSession:
                 qc.reshape(sp, eB, 64), valid_dev.reshape(sp, eB),
                 sched_dev, prev_dev, *tabs)
             return bufs[0], totals[0], max_len, overflow
+
+        return jax.jit(run)
+
+    def transcode_batch(self, entropy_list: list[bytes]) -> list[bytes]:
+        """Batched fused transcode: F frames' decode entropy + datapath +
+        encode numerics + entropy + wire assembly in ONE device dispatch
+        (the transcode analog of decode_device_batch/encode_device_batch
+        — amortizes the per-dispatch relay cost F-fold). Byte-identical
+        to per-frame transcode()."""
+        out = self._transcode_fused_batch(entropy_list)
+        if out is not None:
+            return out
+        return [self.transcode(e) for e in entropy_list]
+
+    def _transcode_fused_batch(self, entropy_list: list[bytes]):
+        """Fused batch graph, or None for shapes the fused path doesn't
+        cover (mesh, host entropy-out, foreign/serial streams)."""
+        dec, enc = self.decoder, self.encoder
+        if (self.entropy_out != "device" or dec.mesh is not None
+                or enc.mesh is not None):
+            return None
+        B = dec.blocks_per_segment
+        n_seg = (dec.n_blocks + B - 1) // B
+        if n_seg <= 1 or B > dec.n_blocks:
+            return None
+        F = len(entropy_list)
+        if F > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, F)) as ex:
+                destuffed = list(ex.map(entropy_scan.destuff_flat,
+                                        entropy_list))
+        else:
+            destuffed = [entropy_scan.destuff_flat(entropy_list[0])]
+        parts, lens_parts = [], []
+        for flat, lens64 in destuffed:
+            if len(lens64) != n_seg:
+                raise DecodeError("restart segment count mismatch")
+            parts.append(flat)
+            lens_parts.append(lens64)
+        flat = (np.concatenate(parts) if len(parts) > 1 else parts[0])
+        lens64 = np.concatenate(lens_parts)
+        seg_blocks = np.tile(dec._expected_seg_blocks(n_seg), F)
+        padded = dec._use_padded_lanes()
+        prep = (dec._padded_lane_inputs if padded
+                else dec._flat_lane_inputs)
+        flat_p, starts, lens, segb, inv_perm, L, M = \
+            prep(flat, lens64, seg_blocks)
+        args = (flat_p, jnp.asarray(starts), jnp.asarray(lens),
+                jnp.asarray(segb), jnp.asarray(inv_perm))
+        try:
+            bodies = enc._run_enc_ladder_batch(
+                lambda msb: dec._cached_jit(
+                    ("transcode_fused_batch", F, L, M, msb, padded),
+                    self._build_transcode_batch_jit, F, L, msb,
+                    padded)(*args), F)
+        except Exception as err:  # noqa: BLE001 — reclassified below
+            # same encoder-degrade + unfused fallback contract as
+            # _transcode_fused (ADVICE r4)
+            if (not _is_lowering_error(err)
+                    or not (dec._has_auto_pallas()
+                            or enc._has_auto_pallas())):
+                raise
+            if (enc._has_auto_pallas()
+                    and not getattr(enc, "_pallas_disabled", False)):
+                enc._pallas_disabled = True
+                for fn in enc.__dict__.get("_jit_cache", {}).values():
+                    reset = getattr(fn, "_reset", None)
+                    if reset is not None:
+                        reset()
+            import warnings
+
+            warnings.warn(
+                "fused batch transcode graph failed to compile; falling "
+                f"back to per-frame transcode: {err!r}", RuntimeWarning,
+                stacklevel=2)
+            return None
+        hdr = enc._header_bytes
+        eoi = bytes((0xFF, marker_codes.EOI))
+        return [b"".join((hdr, body, eoi)) for body in bodies]
+
+    def _build_transcode_batch_jit(self, F: int, L: int, msb: int,
+                                   padded: bool = False):
+        dec, enc = self.decoder, self.encoder
+        B = dec.blocks_per_segment
+        n_seg = (dec.n_blocks + B - 1) // B
+        entropy_fn = dec._entropy_graph_flat(L, F * n_seg, padded)
+        (eB, e_nblocks, _e_nseg, sp, n_padded, sched_dev, prev_dev,
+         valid_dev, tabs, _cap) = enc._enc_geometry(msb)
+        pack = enc._pack_graph(msb, frames=F)
+        valid_batch = jnp.tile(valid_dev, F)
+        pad_masks = self._pad_masks
+
+        def run(flat, starts, lens, seg_blocks, inv_perm):
+            coefs3 = entropy_fn(flat, starts, lens, seg_blocks)
+            stacks = dec._decode_tail_pool(
+                coefs3.reshape(-1, 64), inv_perm, F, B)
+            cleaned = []
+            for p, (ah, aw) in zip(stacks, pad_masks):
+                if (ah, aw) != p.shape[1:]:
+                    p = p.at[:, ah:, :].set(0)
+                    p = p.at[:, :, aw:].set(0)
+                cleaned.append(p)
+            qc = enc._encode_qc_batch(tuple(cleaned), F)
+            qc = qc.reshape(F, e_nblocks, 64)
+            if n_padded != e_nblocks:
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((F, n_padded - e_nblocks, 64),
+                                   jnp.int32)], axis=1)
+            return pack(qc.reshape(F * sp, eB, 64),
+                        valid_batch.reshape(F * sp, eB),
+                        sched_dev, prev_dev, *tabs)
 
         return jax.jit(run)
 
