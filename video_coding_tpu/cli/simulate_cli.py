@@ -101,11 +101,13 @@ def cmd_encoder_accelerator(args) -> int:
 
     size = Size.of_string(args.size)
     chroma = {"420": ChromaSubsampling.C420, "422": ChromaSubsampling.C422,
+              "440": ChromaSubsampling.C440,
               "444": ChromaSubsampling.C444}[args.chroma]
     frame = Frame.create(chroma, size.width, size.height)
     with open(args.input, "rb") as f:
         frame.input(f)
     model_fn = {"420": menc.encode_420, "422": menc.encode_422,
+                "440": menc.encode_440,
                 "444": menc.encode_444}[args.chroma]
     model = model_fn(frame, args.quality,
                      restart_interval=args.restart_interval)
@@ -266,7 +268,7 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("input")
     e.add_argument("--size", required=True)
     e.add_argument("--quality", type=int, default=75)
-    e.add_argument("--chroma", choices=["420", "422", "444"], default="420")
+    e.add_argument("--chroma", choices=["420", "422", "440", "444"], default="420")
     e.add_argument("--restart-interval", type=int, default=0)
     e.set_defaults(fn=cmd_encoder_accelerator)
 

@@ -14,15 +14,18 @@ from .plane import Plane
 class ChromaSubsampling(enum.Enum):
     C420 = "420"
     C422 = "422"
+    C440 = "440"   # vertical-only chroma subsampling (beyond the
+                   # reference's C420/C422/C444 set — frame.ml:9-21)
     C444 = "444"
 
     def chroma_width(self, w: int) -> int:
-        # frame.ml:9-14 — 420/422 halve width (truncating), 444 keeps it.
+        # frame.ml:9-14 — 420/422 halve width (truncating); 440/444 keep it.
         return w // 2 if self in (ChromaSubsampling.C420, ChromaSubsampling.C422) else w
 
     def chroma_height(self, h: int) -> int:
-        # frame.ml:16-21 — only 420 halves height.
-        return h // 2 if self is ChromaSubsampling.C420 else h
+        # frame.ml:16-21 — 420 halves height; 440 (vertical-only) too.
+        return h // 2 if self in (ChromaSubsampling.C420,
+                                  ChromaSubsampling.C440) else h
 
 
 class Frame:
@@ -50,7 +53,7 @@ class Frame:
         if (u.width, u.height) != (v.width, v.height):
             raise ValueError("Chroma planes must be same width and height")
         for c in (ChromaSubsampling.C420, ChromaSubsampling.C422,
-                  ChromaSubsampling.C444):
+                  ChromaSubsampling.C440, ChromaSubsampling.C444):
             if (c.chroma_width(y.width) == u.width
                     and c.chroma_height(y.height) == u.height):
                 return c

@@ -108,6 +108,13 @@ class Parameters:
         return cls.yuv(width, height, quality, (2, 2, 1, 2, 1, 2))
 
     @classmethod
+    def c440(cls, width: int, height: int, quality: int) -> "Parameters":
+        """Vertical-only chroma subsampling (4:4:0): Y 2x2, C 2x1 — the
+        (2,1) factor mix the SOF grammar allows beyond the reference's
+        encoder presets (encoder.ml:287-305 covers 420/422/444)."""
+        return cls.yuv(width, height, quality, (2, 2, 2, 1, 2, 1))
+
+    @classmethod
     def c444(cls, width: int, height: int, quality: int) -> "Parameters":
         return cls.yuv(width, height, quality, (1, 1, 1, 1, 1, 1))
 
@@ -462,6 +469,13 @@ def encode_422(frame: Frame, quality: int, restart_interval: int = 0,
                interleaved: bool = True) -> bytes:
     return _encode_with_params(
         frame, Parameters.c422(frame.width, frame.height, quality),
+        restart_interval, interleaved)
+
+
+def encode_440(frame: Frame, quality: int, restart_interval: int = 0,
+               interleaved: bool = True) -> bytes:
+    return _encode_with_params(
+        frame, Parameters.c440(frame.width, frame.height, quality),
         restart_interval, interleaved)
 
 

@@ -2086,6 +2086,11 @@ class JpegTranscodeSession:
                 # reference's, encoder.ml:287-369); foreign streams often
                 # use 2x1/1x1/1x1 — same chroma dims, different MCU height
                 maker = Parameters.c422
+            elif (hs in ([2, 2, 2], [1, 1, 1])
+                  and vs == [2, 1, 1]):
+                # 4:4:0 (vertical-only): 2x2/2x1/2x1 preset, or the
+                # 1x2/1x1/1x1 foreign form — same chroma dims
+                maker = Parameters.c440
             else:
                 maker = Parameters.c444
             params = maker(frame_hdr.width, frame_hdr.height, quality)
@@ -2340,6 +2345,7 @@ def encode_jpeg(frame: Frame, quality: int = 75,
     """One-shot accelerated encode."""
     maker = {ChromaSubsampling.C420: Parameters.c420,
              ChromaSubsampling.C422: Parameters.c422,
+             ChromaSubsampling.C440: Parameters.c440,
              ChromaSubsampling.C444: Parameters.c444}[subsampling]
     params = maker(frame.width, frame.height, quality)
     return JpegEncoderSession(params, restart_interval, impl=impl).encode(frame)

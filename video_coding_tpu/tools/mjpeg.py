@@ -143,6 +143,7 @@ def encode_stream(frames: list[Frame], quality: int = 75,
         f0 = frames[0]
         maker = {ChromaSubsampling.C420: Parameters.c420,
                  ChromaSubsampling.C422: Parameters.c422,
+                 ChromaSubsampling.C440: Parameters.c440,
                  ChromaSubsampling.C444: Parameters.c444}[
             f0.chroma_subsampling]
         session = JpegEncoderSession(maker(f0.width, f0.height, quality),
@@ -200,6 +201,7 @@ def encode_stream_iter(frames, quality: int = 75,
     if session is None:
         maker = {ChromaSubsampling.C420: Parameters.c420,
                  ChromaSubsampling.C422: Parameters.c422,
+                 ChromaSubsampling.C440: Parameters.c440,
                  ChromaSubsampling.C444: Parameters.c444}[
             f0.chroma_subsampling]
         session = JpegEncoderSession(maker(f0.width, f0.height, quality),
