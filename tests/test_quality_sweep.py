@@ -328,6 +328,9 @@ def test_transcode_batch_byte_identical():
     assert all(o == ref for o in outs)
     # steady state (locked body cap) keeps byte identity
     assert t.transcode_batch([payload] * 4) == [ref] * 4
+    # pipelined batches: ordered, byte-identical, ragged tail chunk
+    outs = list(t.transcode_batch_iter([payload] * 7, batch=4, depth=2))
+    assert outs == [ref] * 7
 
 
 def test_sampling_factor_mixes_device_lockstep():

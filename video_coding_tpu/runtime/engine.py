@@ -2338,6 +2338,27 @@ class JpegTranscodeSession:
         decode_iter/encode_iter)."""
         return _pipelined_map(self.transcode, entropy_iter, depth)
 
+    def transcode_batch_iter(self, entropy_iter, batch: int = 8,
+                             depth: int = 2):
+        """Pipelined batched transcode: chunks of ``batch`` frames each
+        run as ONE fused device dispatch (transcode_batch), with up to
+        ``depth`` chunks in flight so chunk i's host prep/fetch overlaps
+        chunk i+1's device graph — dispatch amortization AND host/device
+        overlap. Yields frames in order."""
+        def chunks(it):
+            buf = []
+            for e in it:
+                buf.append(e)
+                if len(buf) == batch:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        for outs in _pipelined_map(self.transcode_batch,
+                                   chunks(entropy_iter), depth):
+            yield from outs
+
 
 def encode_jpeg(frame: Frame, quality: int = 75,
                 subsampling: ChromaSubsampling = ChromaSubsampling.C420,
