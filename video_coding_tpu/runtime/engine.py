@@ -17,6 +17,7 @@ work is: entropy bytes in → coefficient tensor → one device call → planes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -608,7 +609,16 @@ class JpegDecoderSession:
         memcpy. Single-device sessions therefore upload pre-packed lanes
         and the device just reshapes; mesh sessions keep the flat form
         (the replicated flat buffer is what rides the broadcast fabric
-        once on a real pod)."""
+        once on a real pod).
+
+        The padded matrix is ~2x the flat bytes (stride L vs payload);
+        on a host link where upload bandwidth beats ~120 MB/s the extra
+        ~0.3-2 ms of link time wins against the ~4.5 ms device gather.
+        Operators on slow/jittery links (this container's tunnel spans
+        3-600 MB/s between windows) can force the flat form with
+        VCT_DECODE_UPLOAD=flat."""
+        if os.environ.get("VCT_DECODE_UPLOAD") == "flat":
+            return False
         return self.mesh is None
 
     def _padded_lane_inputs(self, flat: np.ndarray, lens64: np.ndarray,
