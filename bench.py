@@ -181,6 +181,19 @@ def main() -> int:
         jax.block_until_ready(r)
     t_dec_dev = (time.perf_counter() - t0) / (reps * F)
 
+    # pipelined batches of the resident decode (host prep/upload of
+    # chunk i+1 overlaps chunk i's device graph)
+    def time_dec_dev_stream():
+        n = 2 * F
+        t0 = time.perf_counter()
+        for planes in dec.decode_device_batch_iter([payload] * n,
+                                                   batch=F, depth=2):
+            jax.block_until_ready(planes)
+        return (time.perf_counter() - t0) / n
+
+    dwindows = sorted(time_dec_dev_stream() for _ in range(3))
+    t_dec_dev_stream = dwindows[len(dwindows) // 2]
+
     t0 = time.perf_counter()
     for _ in range(reps):
         r = dec.decode_device_batch(payloads)
@@ -396,6 +409,8 @@ def main() -> int:
         "decode_stream_mpix_s": round(px / t_dec_iter / 1e6, 2),
         "encode_stream_mpix_s": round(px / t_enc_iter / 1e6, 2),
         "decode_device_resident_mpix_s": round(px / t_dec_dev / 1e6, 2),
+        "decode_device_stream_mpix_s": round(
+            px / t_dec_dev_stream / 1e6, 2),
         "decode_device_e2e_mpix_s": round(px / t_dec_e2e / 1e6, 2),
         "entropy_kernel_ms": kernel_ms,
         "encode_ms_per_frame": round(t_enc * 1e3, 2),

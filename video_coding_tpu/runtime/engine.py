@@ -967,6 +967,26 @@ class JpegDecoderSession:
         return [tuple(p[i] for p in planes)
                 for i in range(len(entropy_list))]
 
+    def decode_device_batch_iter(self, entropy_iter, batch: int = 8,
+                                 depth: int = 2):
+        """Pipelined batched fused decode for device-resident consumers:
+        chunks of ``batch`` frames each decode as one dispatch
+        (decode_device_batch_stacked) with ``depth`` chunks in flight, so
+        chunk i's host destuff/pack/upload overlaps chunk i+1's device
+        graph. Yields per-chunk stacked plane tuples."""
+        def chunks(it):
+            buf = []
+            for e in it:
+                buf.append(e)
+                if len(buf) == batch:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        return _pipelined_map(self.decode_device_batch_stacked,
+                              chunks(entropy_iter), depth)
+
     def decode_device_batch_stacked(self, entropy_list: list[bytes]):
         """Like decode_device_batch but returns the per-component
         batch-stacked (F, H, W) plane arrays directly (no per-frame
@@ -1677,8 +1697,14 @@ class JpegEncoderSession:
 
     @staticmethod
     def _body_bucket(total: int) -> int:
-        """Power-of-two body-fetch cap with 25% headroom."""
-        return max(4096, 1 << (total * 5 // 4 - 1).bit_length())
+        """Body-fetch cap with 25% headroom: power-of-two below 64 KB,
+        64 KB granularity above (a pow2 bucket wastes up to ~2x link
+        time per fetch on the multi-100-KB bodies of 1080p frames —
+        the host link is the transcode wall on slow windows)."""
+        b = total * 5 // 4
+        if b < 65536:
+            return max(4096, 1 << (b - 1).bit_length())
+        return -(-b // 65536) * 65536
 
     def _device_e2e_enc_jit(self, max_seg_bytes: int):
         return self._cached_jit(("enc", max_seg_bytes),
