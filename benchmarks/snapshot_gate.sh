@@ -10,15 +10,19 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# resolve a python with jax (the login shell's PATH may not carry the venv)
+PY="${PYTHON:-python}"
+"$PY" -c "import jax" 2>/dev/null || PY=/opt/venv/bin/python
+
 echo "== probe =="
-timeout 90 python -c "import jax.numpy as j; print(int(j.arange(8).sum()))" \
+timeout 90 "$PY" -c "import jax.numpy as j; print(int(j.arange(8).sum()))" \
   || { echo "tunnel probe failed/wedged"; exit 1; }
 
 echo "== TPU lane =="
-VCT_TPU_TESTS=1 timeout 590 python -m pytest -m tpu -q || exit 1
+VCT_TPU_TESTS=1 timeout 590 "$PY" -m pytest -m tpu -q || exit 1
 
 echo "== bench =="
-line=$(timeout 590 python bench.py) || exit 1
+line=$(timeout 590 "$PY" bench.py) || exit 1
 echo "$line"
 case "$line" in
   *'"platform": "tpu"'*) ;;

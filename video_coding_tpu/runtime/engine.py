@@ -600,7 +600,7 @@ class JpegDecoderSession:
             seg_blocks[-1] = self.n_blocks % B
         return seg_blocks
 
-    def _use_padded_lanes(self) -> bool:
+    def _use_padded_lanes(self, batched: bool = False) -> bool:
         """Host-packed stride-L lane matrix vs flat buffer + on-device
         gather. The XLA per-lane row gather costs ~0.6 us per LANE
         (granule-insensitive; ~4.5 ms/frame at 1080p ri=1 — BENCH_NOTES
@@ -612,14 +612,19 @@ class JpegDecoderSession:
         once on a real pod).
 
         The padded matrix is ~2x the flat bytes (stride L vs payload);
-        on a host link where upload bandwidth beats ~120 MB/s the extra
-        ~0.3-2 ms of link time wins against the ~4.5 ms device gather.
-        Operators on slow/jittery links (this container's tunnel spans
-        3-600 MB/s between windows) can force the flat form with
-        VCT_DECODE_UPLOAD=flat."""
-        if os.environ.get("VCT_DECODE_UPLOAD") == "flat":
+        in a SINGLE-frame dispatch the ~4.5 ms device gather is serial
+        with everything else, so padded wins. In the BATCHED pipelined
+        paths (``batched=True``) the gather overlaps the link transfer
+        of the next chunk, so the flat form's halved upload wins on this
+        container's tunnel (A/B at commit ca6df96: batch_stream median
+        168.1 flat vs 157.0 padded MPix/s). VCT_DECODE_UPLOAD=flat or
+        =padded overrides both defaults."""
+        forced = os.environ.get("VCT_DECODE_UPLOAD")
+        if forced == "flat":
             return False
-        return self.mesh is None
+        if forced == "padded":
+            return self.mesh is None
+        return self.mesh is None and not batched
 
     def _padded_lane_inputs(self, flat: np.ndarray, lens64: np.ndarray,
                             seg_blocks: np.ndarray):
@@ -1089,7 +1094,7 @@ class JpegDecoderSession:
         if self.n_blocks % B:
             seg_blocks[-1] = self.n_blocks % B
         seg_blocks = np.tile(seg_blocks, F)
-        padded = self._use_padded_lanes()
+        padded = self._use_padded_lanes(batched=F > 1)
         prep = (self._padded_lane_inputs if padded
                 else self._flat_lane_inputs)
         flat_p, starts, lens, seg_blocks, inv_perm, L, M = \
@@ -2293,7 +2298,7 @@ class JpegTranscodeSession:
         flat = (np.concatenate(parts) if len(parts) > 1 else parts[0])
         lens64 = np.concatenate(lens_parts)
         seg_blocks = np.tile(dec._expected_seg_blocks(n_seg), F)
-        padded = dec._use_padded_lanes()
+        padded = dec._use_padded_lanes(batched=F > 1)
         prep = (dec._padded_lane_inputs if padded
                 else dec._flat_lane_inputs)
         flat_p, starts, lens, segb, inv_perm, L, M = \
