@@ -307,7 +307,9 @@ def main() -> int:
     # transcode analog of the batched decode/encode paths — amortizes
     # the per-dispatch relay cost F-fold). Byte-gated against the
     # per-frame output above.
-    FB = 8
+    # batch=16 beat 8 (175.8 vs 156.5 median) and 32 on the dispatch/
+    # compile tradeoff sweep (BENCH_NOTES round 5)
+    FB = 16
     outs_b = trans.transcode_batch([payload] * FB)  # compile + ladder
     if any(o != ref for o in outs_b):
         print(json.dumps({
