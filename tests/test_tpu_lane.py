@@ -227,6 +227,27 @@ def test_pallas_packer_on_chip(small_stream):
     assert enc.encode_device(frame) == stream
 
 
+def test_mesh_sessions_on_chip(small_stream):
+    """Mesh-sharded sessions on the REAL chip (1-device mesh): the
+    shard_map-wrapped Pallas entropy kernels must lower and stay
+    bit/byte-exact. The CPU mesh tier cannot cover this combination —
+    _pallas_eligible requires the tpu backend, so its mesh graphs take
+    the XLA route (a checked-shard_map vma rejection hid here until
+    round 5)."""
+    frame, params, stream, header, payload, golden = small_stream
+    from video_coding_tpu.parallel import codec_mesh
+    from video_coding_tpu.runtime.engine import (JpegDecoderSession,
+                                                 JpegEncoderSession)
+
+    mesh = codec_mesh(1)
+    dec = JpegDecoderSession(header, mesh=mesh)
+    got = dec.decode_device(payload)
+    for p in "yuv":
+        assert np.array_equal(getattr(got, p).data, getattr(golden, p).data)
+    enc = JpegEncoderSession(params, restart_interval=1, mesh=mesh)
+    assert enc.encode_device(frame) == stream
+
+
 def test_indexed_foreign_stream_on_chip():
     """Mouse480 — a real camera JPEG with no restart markers — decodes
     through the indexed parallel device path bit-exactly on chip

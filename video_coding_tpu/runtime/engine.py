@@ -872,7 +872,12 @@ class JpegDecoderSession:
         in_specs = ((P(axes, None), P(axes), P(None))
                     + tuple(P(*([None] * a.ndim)) for a in lut_args))
 
-        @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+        # VMA checker off: the Pallas kernels' out_shapes carry no vma
+        # annotation, which the checked shard_map rejects on real TPU
+        # (jax 0.9) — the CPU mesh tier never hits this because it takes
+        # the XLA route (_pallas_eligible requires the tpu backend)
+        @functools.partial(_shard_map_unchecked, mesh=mesh,
+                           in_specs=in_specs,
                            out_specs=P(axes, None, None))
         def sharded(segb, segn, sched, *luts):
             return decode_fn(segb, segn, sched, *luts,
