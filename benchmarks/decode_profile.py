@@ -225,13 +225,16 @@ def profile_flat(args, sess, payload, mpix, platform, t):
             out = pallas_decode.decode_flat_pallas_t(
                 dflat, s, dlens, dsegb, sched, *lut_args, L=L,
                 blocks_per_segment=B, n_components=n_comp,
-                init_dc=dc0, lanes=min(max(lanes, 128), 512),
+                init_dc=dc0, lanes=min(lanes, 512),
                 interpret=interp)
             return acc + out.sum()
         return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
 
-    ms_kernel, _ = t(lambda: jax.block_until_ready(kloop(dstarts)))
-    ms_kernel /= REPS
+    if lanes == 0:  # over VMEM budget — same bail-out as the engine
+        ms_kernel = float("nan")
+    else:
+        ms_kernel, _ = t(lambda: jax.block_until_ready(kloop(dstarts)))
+        ms_kernel /= REPS
 
     # padded route (round-5 default): host C++ pack at stride Lp, free
     # device reshape, kernel straight from the (S, Lp) matrix
@@ -252,13 +255,20 @@ def profile_flat(args, sess, payload, mpix, platform, t):
             out = pallas_decode.decode_segments_pallas_t(
                 lb.reshape(-1, Lp), dpsegb, sched, *lut_args,
                 blocks_per_segment=B, n_components=n_comp,
-                init_dc=dc0, lanes=min(max(lanes_p, 128), 512),
+                init_dc=dc0, lanes=min(lanes_p, 512),
                 interpret=interp)
             return acc + out.sum()
         return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
 
-    ms_kernel_pad, _ = t(lambda: jax.block_until_ready(kloop_pad(dlane)))
-    ms_kernel_pad /= REPS
+    if lanes_p == 0:
+        # per-lane kernel state exceeds the VMEM budget at this geometry
+        # — every engine call site treats this as ineligible; launching
+        # anyway would be an over-budget Mosaic launch, not a data point
+        ms_kernel_pad = float("nan")
+    else:
+        ms_kernel_pad, _ = t(
+            lambda: jax.block_until_ready(kloop_pad(dlane)))
+        ms_kernel_pad /= REPS
 
     # full fused graph from resident arrays, and end to end
     fn = sess._device_e2e_flat_jit(L, M)

@@ -76,6 +76,35 @@ def test_decode_device_rgb_end_to_end(mini64_frames):
     assert np.abs(rgb.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_decode_device_rgb_440(mini64_frames):
+    """4:4:0 streams (vertical-only chroma) go through the new
+    upsample_v2 branch in _rgb_tail — regression for the round-5 review
+    finding (the branch was missing and C440 RGB decode crashed)."""
+    import numpy as np
+
+    from video_coding_tpu.common.frame import ChromaSubsampling, Frame
+    from video_coding_tpu.runtime import engine
+
+    src444 = mini64_frames[ChromaSubsampling.C444]
+    src = Frame(Plane(data=src444.y.data.copy()),
+                Plane(data=src444.u.data[0::2].copy()),
+                Plane(data=src444.v.data[0::2].copy()),
+                ChromaSubsampling.C440)
+    data = menc.encode_440(src, 80, restart_interval=2)
+    bits = BitReader(data)
+    sess = engine.JpegDecoderSession(mdec.Header.decode(bits))
+    rgb = np.asarray(sess.decode_device_rgb(data[bits.bit_pos >> 3:]))
+    assert rgb.shape == (64, 64, 3)
+    # upsample_v2 row semantics: even rows replicate, odd rows average
+    ref_frame = mdec.decode_a_frame(data)
+    up = np.asarray(color.upsample_v2(ref_frame.u.data))
+    assert np.array_equal(up[0::2], ref_frame.u.data)
+    below = np.concatenate([ref_frame.u.data[1:],
+                            ref_frame.u.data[-1:]], axis=0)
+    avg = (ref_frame.u.data.astype(int) + below.astype(int) + 1) // 2
+    assert np.array_equal(up[1::2], avg)
+
+
 def test_decode_device_rgb_odd_size(mini64_frames):
     from video_coding_tpu.common.frame import ChromaSubsampling, Frame
     from video_coding_tpu.runtime import engine

@@ -42,6 +42,17 @@ def upsample_hv2(plane):
     return jnp.stack([top, bot], axis=1).reshape(2 * h, 2 * w)
 
 
+def upsample_v2(plane):
+    """(h, w) → (2h, w): vertical-only supersample (the 4:4:0 analog of
+    supersample_h2 — planar_444.ml has no 440 mode; same replicate-then-
+    average-with-next semantics along the column axis)."""
+    below = jnp.concatenate([plane[1:, :], plane[-1:, :]], axis=0)
+    h, w = plane.shape
+    out = jnp.stack([plane.astype(jnp.int32), _avg2(plane, below)],
+                    axis=1)
+    return out.reshape(2 * h, w)
+
+
 def downsample_h2(plane):
     """(h, 2w) → (h, w): subsample_h2."""
     return _avg2(plane[:, 0::2], plane[:, 1::2])

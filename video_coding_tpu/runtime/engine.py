@@ -90,7 +90,12 @@ def _is_lowering_error(err: BaseException) -> bool:
                 "MosaicError", "InconclusiveDimensionOperation"):
         return True
     msg = str(err).lower()
-    compile_markers = ("mosaic", "lowering", "unimplemented",
+    # NOTE: bare 'unimplemented' is NOT a marker — it is also a standard
+    # gRPC status ('UNIMPLEMENTED: ...') that transport/relay faults
+    # surface, exactly the class that must propagate. Mosaic's own
+    # unimplemented-op errors carry 'mosaic'/'lowering'/'not supported
+    # by the tpu backend' context and are still caught.
+    compile_markers = ("mosaic", "lowering",
                        "failed to compile", "xla translation",
                        "does not fit in vmem",
                        "not supported by the tpu backend")
@@ -239,6 +244,66 @@ def _replicated(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     return NamedSharding(mesh, P())
+
+
+def _degrade_encoder_on_lowering(dec, enc, err, what: str) -> None:
+    """Shared fail-soft policy for fused transcode graphs, which mix
+    DECODER and ENCODER kernels under the decoder session's fail-soft: a
+    lowering failure in the encoder half would otherwise disable only
+    the decoder's routes and re-trace the same failing encoder kernel
+    (ADVICE r4). Degrades the encoder too (clearing its jit cache) so
+    the caller can fall back to an unfused path; re-raises anything
+    non-compile-class or when neither session runs 'auto' strategies."""
+    if (not _is_lowering_error(err)
+            or not (dec._has_auto_pallas() or enc._has_auto_pallas())):
+        raise err
+    if (enc._has_auto_pallas()
+            and not getattr(enc, "_pallas_disabled", False)):
+        enc._pallas_disabled = True
+        for fn in enc.__dict__.get("_jit_cache", {}).values():
+            reset = getattr(fn, "_reset", None)
+            if reset is not None:
+                reset()
+    import warnings
+
+    warnings.warn(
+        f"{what} failed to compile; falling back to the unfused "
+        f"path: {err!r}", RuntimeWarning, stacklevel=3)
+
+
+def _chunked(it, batch: int):
+    """Yield lists of up to ``batch`` items (ragged tail kept)."""
+    buf = []
+    for e in it:
+        buf.append(e)
+        if len(buf) == batch:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def _destuff_parts(entropy_list: list, n_seg: int):
+    """Concurrently destuff many frames' entropy bytes (the C++ pass
+    releases the GIL) and validate each frame's restart segment count.
+    Returns (parts, lens_parts) — per-frame flat buffers and per-segment
+    byte lengths."""
+    if len(entropy_list) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+                max_workers=min(8, len(entropy_list))) as ex:
+            destuffed = list(ex.map(entropy_scan.destuff_flat,
+                                    entropy_list))
+    else:
+        destuffed = [entropy_scan.destuff_flat(entropy_list[0])]
+    parts, lens_parts = [], []
+    for flat, lens64 in destuffed:
+        if len(lens64) != n_seg:
+            raise DecodeError("restart segment count mismatch")
+        parts.append(flat)
+        lens_parts.append(lens64)
+    return parts, lens_parts
 
 
 def _pipelined_map(fn, items, depth: int):
@@ -606,10 +671,12 @@ class JpegDecoderSession:
         (granule-insensitive; ~4.5 ms/frame at 1080p ri=1 — BENCH_NOTES
         rounds 4-5) while the padded upload only adds ~0.3 ms of link
         time at the measured ~650 MB/s, and the C++ pack is a strided
-        memcpy. Single-device sessions therefore upload pre-packed lanes
-        and the device just reshapes; mesh sessions keep the flat form
-        (the replicated flat buffer is what rides the broadcast fabric
-        once on a real pod).
+        memcpy. Single-frame single-device dispatches therefore upload
+        pre-packed lanes and the device just reshapes. Mesh sessions do
+        NOT consult this method: their prep is always the padded row
+        matrix, sharded so each device uploads only its own lanes
+        (_decode_device_batch_mesh), and the VCT_DECODE_UPLOAD knob does
+        not apply to them.
 
         The padded matrix is ~2x the flat bytes (stride L vs payload);
         in a SINGLE-frame dispatch the ~4.5 ms device gather is serial
@@ -984,18 +1051,8 @@ class JpegDecoderSession:
         (decode_device_batch_stacked) with ``depth`` chunks in flight, so
         chunk i's host destuff/pack/upload overlaps chunk i+1's device
         graph. Yields per-chunk stacked plane tuples."""
-        def chunks(it):
-            buf = []
-            for e in it:
-                buf.append(e)
-                if len(buf) == batch:
-                    yield buf
-                    buf = []
-            if buf:
-                yield buf
-
         return _pipelined_map(self.decode_device_batch_stacked,
-                              chunks(entropy_iter), depth)
+                              _chunked(entropy_iter, batch), depth)
 
     def decode_device_batch_stacked(self, entropy_list: list[bytes]):
         """Like decode_device_batch but returns the per-component
@@ -1019,21 +1076,7 @@ class JpegDecoderSession:
         re-shards coefficients frame-major so plane assembly is sharded
         work, not replicated (the point-to-point analog of the
         reference's FIFO chain, bytestream_decoder.ml:257-289)."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        if len(entropy_list) > 1:
-            with ThreadPoolExecutor(
-                    max_workers=min(8, len(entropy_list))) as ex:
-                destuffed = list(ex.map(entropy_scan.destuff_flat,
-                                        entropy_list))
-        else:
-            destuffed = [entropy_scan.destuff_flat(entropy_list[0])]
-        parts, lens_parts = [], []
-        for flat, lens64 in destuffed:
-            if len(lens64) != n_seg:
-                raise DecodeError("restart segment count mismatch")
-            parts.append(flat)
-            lens_parts.append(lens64)
+        parts, lens_parts = _destuff_parts(entropy_list, n_seg)
         flat = (np.concatenate(parts) if len(parts) > 1 else parts[0])
         lens64 = np.concatenate(lens_parts)
         B = self.blocks_per_segment
@@ -1069,24 +1112,7 @@ class JpegDecoderSession:
                                   F: int, n_seg: int):
         """Batched flat-upload fused decode (single device): one flat
         destuffed buffer + one lane pool for all frames' segments."""
-        # destuff frames concurrently — the C++ pass releases the GIL,
-        # and serial per-frame destuff (~8 ms at 1080p) would otherwise
-        # dominate the batched device decode
-        if len(entropy_list) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                    max_workers=min(8, len(entropy_list))) as ex:
-                destuffed = list(ex.map(entropy_scan.destuff_flat,
-                                        entropy_list))
-        else:
-            destuffed = [entropy_scan.destuff_flat(entropy_list[0])]
-        parts, lens_parts = [], []
-        for flat, lens64 in destuffed:
-            if len(lens64) != n_seg:
-                raise DecodeError("restart segment count mismatch")
-            parts.append(flat)
-            lens_parts.append(lens64)
+        parts, lens_parts = _destuff_parts(entropy_list, n_seg)
         if (n_seg == 1
                 and self.n_blocks >= 8 * self._index_stride()):
             out = self._decode_device_batch_indexed(parts)
@@ -1250,13 +1276,17 @@ class JpegDecoderSession:
                         mesh, PartitionSpec(tuple(mesh.axis_names))))
             return self._decode_tail_batch(coefs.reshape(-1, 64), F)
 
-        if mesh is not None and F % mesh.size == 0:
+        if (mesh is not None and F % mesh.size == 0
+                and jax.process_count() == 1):
             # after the frame-major re-shard each device holds its own
             # frames' planes; keep them sharded over the frame axis
             # instead of all-gathering ~F x 3 MPix of uint8 back onto
             # every device (the q75 efficiency residual, VERDICT r4
-            # item 3). Multi-controller consumers that need another
-            # process's frames must process_allgather explicitly.
+            # item 3). Single-controller only: decode_device_batch
+            # slices per frame and consumers np.asarray the result,
+            # which would raise on non-addressable shards in a
+            # multi-process run — there the replicated form below keeps
+            # every process able to read all planes.
             from jax.sharding import NamedSharding, PartitionSpec
 
             out_s = NamedSharding(mesh,
@@ -1283,6 +1313,8 @@ class JpegDecoderSession:
                 p = color.upsample_hv2(p)
             elif sh == 2:
                 p = color.upsample_h2(p)
+            elif sv == 2:  # 4:4:0 — vertical-only subsampling
+                p = color.upsample_v2(p)
             return p[:yh, :yw]  # odd-dimension crop after upsample
 
         y = planes[0][:yh, :yw]
@@ -2202,31 +2234,9 @@ class JpegTranscodeSession:
                 lambda msb: dec._cached_jit(
                     ("transcode_fused", L, M, msb, padded),
                     self._build_transcode_jit, L, msb, padded)(*args))
-        except Exception as err:  # noqa: BLE001 — reclassified below
-            # the fused graph mixes DECODER and ENCODER kernels under the
-            # decoder session's fail-soft, so a lowering failure in the
-            # encoder half would otherwise disable only the decoder's
-            # routes and re-trace the same failing encoder kernel
-            # (ADVICE r4). Degrade the encoder too and fall back to the
-            # unfused two-step path; anything non-compile-class stays
-            # loud, as do explicit (non-'auto') strategy selections.
-            if (not _is_lowering_error(err)
-                    or not (dec._has_auto_pallas()
-                            or enc._has_auto_pallas())):
-                raise
-            if (enc._has_auto_pallas()
-                    and not getattr(enc, "_pallas_disabled", False)):
-                enc._pallas_disabled = True
-                for fn in enc.__dict__.get("_jit_cache", {}).values():
-                    reset = getattr(fn, "_reset", None)
-                    if reset is not None:
-                        reset()
-            import warnings
-
-            warnings.warn(
-                "fused transcode graph failed to compile; falling back "
-                f"to the unfused two-step path: {err!r}", RuntimeWarning,
-                stacklevel=2)
+        except Exception as err:  # noqa: BLE001 — reclassified in helper
+            _degrade_encoder_on_lowering(dec, enc, err,
+                                         "fused transcode graph")
             return None
         return b"".join((enc._header_bytes, body,
                          bytes((0xFF, marker_codes.EOI))))
@@ -2286,20 +2296,7 @@ class JpegTranscodeSession:
         if n_seg <= 1 or B > dec.n_blocks:
             return None
         F = len(entropy_list)
-        if F > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(8, F)) as ex:
-                destuffed = list(ex.map(entropy_scan.destuff_flat,
-                                        entropy_list))
-        else:
-            destuffed = [entropy_scan.destuff_flat(entropy_list[0])]
-        parts, lens_parts = [], []
-        for flat, lens64 in destuffed:
-            if len(lens64) != n_seg:
-                raise DecodeError("restart segment count mismatch")
-            parts.append(flat)
-            lens_parts.append(lens64)
+        parts, lens_parts = _destuff_parts(entropy_list, n_seg)
         flat = (np.concatenate(parts) if len(parts) > 1 else parts[0])
         lens64 = np.concatenate(lens_parts)
         seg_blocks = np.tile(dec._expected_seg_blocks(n_seg), F)
@@ -2316,26 +2313,9 @@ class JpegTranscodeSession:
                     ("transcode_fused_batch", F, L, M, msb, padded),
                     self._build_transcode_batch_jit, F, L, msb,
                     padded)(*args), F)
-        except Exception as err:  # noqa: BLE001 — reclassified below
-            # same encoder-degrade + unfused fallback contract as
-            # _transcode_fused (ADVICE r4)
-            if (not _is_lowering_error(err)
-                    or not (dec._has_auto_pallas()
-                            or enc._has_auto_pallas())):
-                raise
-            if (enc._has_auto_pallas()
-                    and not getattr(enc, "_pallas_disabled", False)):
-                enc._pallas_disabled = True
-                for fn in enc.__dict__.get("_jit_cache", {}).values():
-                    reset = getattr(fn, "_reset", None)
-                    if reset is not None:
-                        reset()
-            import warnings
-
-            warnings.warn(
-                "fused batch transcode graph failed to compile; falling "
-                f"back to per-frame transcode: {err!r}", RuntimeWarning,
-                stacklevel=2)
+        except Exception as err:  # noqa: BLE001 — reclassified in helper
+            _degrade_encoder_on_lowering(dec, enc, err,
+                                         "fused batch transcode graph")
             return None
         hdr = enc._header_bytes
         eoi = bytes((0xFF, marker_codes.EOI))
@@ -2391,18 +2371,8 @@ class JpegTranscodeSession:
         ``depth`` chunks in flight so chunk i's host prep/fetch overlaps
         chunk i+1's device graph — dispatch amortization AND host/device
         overlap. Yields frames in order."""
-        def chunks(it):
-            buf = []
-            for e in it:
-                buf.append(e)
-                if len(buf) == batch:
-                    yield buf
-                    buf = []
-            if buf:
-                yield buf
-
         for outs in _pipelined_map(self.transcode_batch,
-                                   chunks(entropy_iter), depth):
+                                   _chunked(entropy_iter, batch), depth):
             yield from outs
 
 
